@@ -1,0 +1,120 @@
+"""Routed-row formatting as pure JVM column expressions.
+
+Byte-equal to oracle.transform_turn + oracle.format_routed + oracle.envelope
+(reference app/log_processor.py:368-497 F1/F2/F3 + P3-P10), but built with
+concat/when/regexp-free string ops so the whole format stage stays inside
+whole-stage codegen — no Python in the hot path.
+
+The transformed record never materializes as a struct: each SIEM field is a
+column expression, and the final pipe-joined string is one ``concat`` of
+conditional fragments in FIELD_ORDER order (column order == whitelist order,
+P10). Null/empty fields contribute '' to the concat, i.e. are dropped —
+mirroring the null-dropping merge (app/log_processor.py:420,461,483).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from illumio_spark import schema as S
+
+_ORIG_PREFIX_LEN = len("|original_message=")  # 18
+
+
+def _clean(c: Column) -> Column:
+    return F.nullif(F.trim(c), F.lit(""))
+
+
+def siem_field_columns() -> dict[str, Column]:
+    """SIEM field name → value expression (post parse+enrich).
+
+    Expects columns: summary (struct), audit (struct), event_class,
+    event_type, severity, conv_id, turn_idx, role, tool, ts.
+    Only fields some class populates are present; all others are never
+    emitted (FIELD_ORDER filtering drops them anyway).
+    """
+    is_audit = F.col("event_class") == S.CLASS_AUDITABLE
+    s = lambda f: _clean(F.col(f"summary.{f}"))  # noqa: E731
+    a = lambda f: _clean(F.col(f"audit.{f}"))  # noqa: E731
+    device_type = F.when(is_audit, S.DEVICE_TYPE_AUDIT).otherwise(S.DEVICE_TYPE_SUMMARY)
+
+    return {
+        "time": F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+        "object": F.when(~is_audit, s("sn")),
+        "objectname": _clean(F.col("conv_id")),
+        "objecttype": F.when(~is_audit, s("act")),
+        "result": F.when(is_audit, a("status")),
+        "url": F.when(is_audit, a("api_endpoint")),
+        "version": F.col("turn_idx").cast("string"),
+        "command": F.when(is_audit, a("api_method")),
+        "reason": F.when(~is_audit, s("msg")),
+        "action": F.when(is_audit, a("api_method")),
+        "status": F.when(~is_audit, s("state")),
+        "sessiontype": F.when(
+            ~is_audit,
+            F.when(F.col("role") == "user", "interactive").otherwise("automated"),
+        ),
+        "process": _clean(F.col("tool")),
+        "quantity": F.when(~is_audit, s("count")),
+        "seconds": F.when(~is_audit, s("interval_sec")),
+        "kilobytesin": F.when(~is_audit, s("bytes_in")),
+        "kilobytesout": F.when(~is_audit, s("bytes_out")),
+        "severity": _clean(F.col("severity")),
+        "vmid": F.when(is_audit, a("event_type")),
+        "vendorinfo": F.when(~is_audit, _clean(F.col("event_type"))),
+        "sip": F.when(is_audit, a("src")),
+        "login": _clean(F.col("role")),
+        "tag1": device_type,
+        "tag2": F.when(is_audit, a("api_endpoint")),
+        "tag3": F.when(is_audit, a("api_method")),
+    }
+
+
+def formatted_log_column() -> Column:
+    """'k=v|k=v|...' pipe join with '|'→'_' value escaping (F1)."""
+    fields = siem_field_columns()
+    device_type = fields["tag1"]  # tag1 == device_type by construction
+
+    head = F.concat(
+        F.lit(f"beatname={S.BEATNAME}|device_type="),
+        device_type,
+        F.lit(f"|fullyqualifiedbeatname={S.BEATNAME}"),
+    )
+    parts = [head]
+    for name in S.FIELD_ORDER:
+        if name not in fields:
+            continue
+        v = fields[name]
+        parts.append(
+            F.when(
+                v.isNotNull() & (v != ""),
+                F.concat(F.lit(f"|{name}="), F.replace(v, F.lit("|"), F.lit("_"))),
+            ).otherwise("")
+        )
+    return F.concat(*parts)
+
+
+def routed_text_column(formatted: Column) -> Column:
+    """Append escaped+truncated original payload (F2) and the deterministic
+    syslog envelope (F3, derived from event ts — SURVEY.md §7 risk note)."""
+    escaped = F.replace(F.col("text"), F.lit("|"), F.lit("_"))
+    max_orig = F.lit(S.MAX_MESSAGE_LENGTH) - F.length(formatted) - F.lit(_ORIG_PREFIX_LEN)
+    keep = F.greatest(max_orig - F.lit(3), F.lit(0))
+    orig = F.when(
+        F.length(escaped) > max_orig,
+        F.concat(escaped.substr(F.lit(1), keep), F.lit("...")),
+    ).otherwise(escaped)
+
+    stamp = F.date_format("ts", "MMM dd yyyy HH:mm:ss")
+    return F.concat(
+        stamp,
+        F.lit(f" {S.SYSLOG_HOST} {S.SYSLOG_NOTE} "),
+        formatted,
+        F.lit("|original_message="),
+        orig,
+    )
+
+
+def with_routed_text(df: DataFrame) -> DataFrame:
+    formatted = formatted_log_column()
+    return df.withColumn("routed_text", routed_text_column(formatted))
