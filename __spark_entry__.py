@@ -1,38 +1,58 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship parse→enrich→route→aggregate query on sf0.001.
+queries()      — one entry per implemented operator (SURVEY.md §2 + td_*).
+oracle_sql()   — DuckDB-equivalent SQL for every SQL-expressible query.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# importing the catalog modules populates the shared QUERIES registry
+from illumio_spark.queries.catalog import QUERIES, load  # noqa: E402
+import illumio_spark.queries.catalog_td  # noqa: F401,E402
+import illumio_spark.queries.catalog_pipeline  # noqa: F401,E402
+
+SF_SMOKE = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's parse → enrich → route → aggregate shape
+    over the events table (parse JSON props, broadcast-enrich severity,
+    CASE route, rollup counts per route/severity)."""
+    ev = load(spark, SF_SMOKE, "events")
+    severity_lookup = spark.createDataFrame(
+        [
+            ("error", "high"),
+            ("signup", "medium"),
+            ("purchase", "medium"),
+            ("click", "low"),
+            ("view", "low"),
+        ],
+        "lk_event_type string, severity string",
+    )
+    parsed = ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+    enriched = parsed.join(
+        F.broadcast(severity_lookup), parsed.event_type == F.col("lk_event_type"), "left"
+    )
+    route = (
+        F.when(F.col("k").isNull(), "dead_letter")
+        .when(F.col("event_type").isin("error", "signup"), "auditable")
+        .otherwise("summary")
+        .alias("route")
+    )
+    return enriched.groupBy(route, F.col("severity")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

@@ -1,0 +1,550 @@
+"""Driver-contract query catalog: SURVEY.md §2 operators over the testdata.
+
+Each entry: name → (spark_fn(spark, sf_dir) -> DataFrame, duckdb_sql | None).
+Names map to SURVEY.md §2 operator ids (S*, P*, F*, J*, A*, O*) plus the
+training-data-pipeline ops (td_*) and the transcript pipeline itself
+(pipeline_*, rows-only where DuckDB can't express it).
+
+Column-name discipline: every computed column is aliased identically on the
+Spark and SQL sides (driver hashes values under sorted column names).
+Numeric discipline: counts → bigint both sides; ratios/rounded sums →
+double both sides; DuckDB integer SUM/COUNT are cast from HUGEINT to BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+QUERIES: dict[str, tuple] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# §2.1 scans / sources  (S1/S3 partition-pruned time window, S4 anti-join,
+# S5 limit, S8 validity pre-scan)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "s1_time_window_prune",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-13 00:00:00'
+    GROUP BY 1
+    """,
+)
+def s1_time_window_prune(spark, sf_dir):
+    # reference: date-prefix pruning + LastModified window (s3_manager.py:186-212)
+    # → Catalyst pushes this ts predicate into the parquet scan (PushedFilters)
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-13 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "s4_incremental_antijoin",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(event_id) AS min_id, MAX(event_id) AS max_id
+    FROM events
+    WHERE event_id NOT IN (SELECT event_id FROM events WHERE event_id % 100 < 10)
+    """,
+)
+def s4_incremental_antijoin(spark, sf_dir):
+    # reference: processed-keys skip (s3_manager.py:208-210) → left_anti join
+    ev = load(spark, sf_dir, "events")
+    processed = ev.filter(F.col("event_id") % 100 < 10).select("event_id")
+    return ev.join(processed, "event_id", "left_anti").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+@q(
+    "s5_limit_batch",
+    """
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def s5_limit_batch(spark, sf_dir):
+    # reference: batch_size listing cap (s3_manager.py:217) → deterministic top-k
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+@q(
+    "s8_validity_prescan",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (WHERE json_extract_string(props, '$.k') IS NOT NULL) AS BIGINT) AS n_valid
+    FROM events
+    """,
+)
+def s8_validity_prescan(spark, sf_dir):
+    # reference: total lines vs valid-JSON lines (s3_manager.py:322-331)
+    ev = load(spark, sf_dir, "events")
+    ok = F.get_json_object("props", "$.k").isNotNull()
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(ok, 1)).alias("n_valid"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / scalar transforms (P1/P2/P5/P6/P7/P11, F1/F3)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "p1_json_extract",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def p1_json_extract(spark, sf_dir):
+    # reference: per-line json.loads (log_processor.py:346) → JVM JSON path
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("int")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q(
+    "p2_trim_null_projection",
+    """
+    SELECT doc_id, NULLIF(TRIM(lang), '') AS lang_clean, UPPER(source) AS source_uc
+    FROM documents
+    """,
+)
+def p2_trim_null_projection(spark, sf_dir):
+    # reference: safe_get trim-to-null (log_processor.py:391-397)
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.nullif(F.trim("lang"), F.lit("")).alias("lang_clean"),
+        F.upper("source").alias("source_uc"),
+    )
+
+
+@q(
+    "p6_conditional_class",
+    """
+    SELECT CASE WHEN event_type IN ('error', 'signup') THEN 'auditable' ELSE 'summary' END AS event_class,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def p6_conditional_class(spark, sf_dir):
+    # reference: proto==6 → TCP/UDP conditional (log_processor.py:448-450)
+    ev = load(spark, sf_dir, "events")
+    cls = (
+        F.when(F.col("event_type").isin("error", "signup"), "auditable")
+        .otherwise("summary")
+        .alias("event_class")
+    )
+    return ev.groupBy(cls).agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "p7_map_fold_labels",
+    """
+    SELECT doc_id, 'Source: lang=' || lang || ', source=' || source AS label_str
+    FROM documents
+    """,
+)
+def p7_map_fold_labels(spark, sf_dir):
+    # reference: src_labels dict → 'k=v, k=v' fold (log_processor.py:452-459);
+    # spark side exercises the real map → string fold over a MapType
+    d = load(spark, sf_dir, "documents")
+    m = F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source"))
+    folded = F.concat_ws(
+        ", ",
+        F.transform(F.map_entries(m), lambda e: F.concat(e.key, F.lit("="), e.value)),
+    )
+    return d.select("doc_id", F.concat(F.lit("Source: "), folded).alias("label_str"))
+
+
+@q(
+    "f1_pipe_format",
+    """
+    SELECT doc_id,
+           'doc_id=' || CAST(doc_id AS VARCHAR) || '|lang=' || lang || '|msg=' ||
+           CASE WHEN LENGTH(REPLACE(text, '|', '_')) > 60
+                THEN SUBSTR(REPLACE(text, '|', '_'), 1, 57) || '...'
+                ELSE REPLACE(text, '|', '_') END AS formatted
+    FROM documents
+    """,
+)
+def f1_pipe_format(spark, sf_dir):
+    # reference: k=v|k=v format + escape + truncate (log_processor.py:480-497)
+    d = load(spark, sf_dir, "documents")
+    esc = F.replace(F.col("text"), F.lit("|"), F.lit("_"))
+    msg = F.when(F.length(esc) > 60, F.concat(F.substring(esc, 1, 57), F.lit("..."))).otherwise(esc)
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("doc_id="), F.col("doc_id").cast("string"),
+            F.lit("|lang="), F.col("lang"),
+            F.lit("|msg="), msg,
+        ).alias("formatted"),
+    )
+
+
+@q(
+    "f3_syslog_envelope",
+    """
+    SELECT event_id, strftime(ts, '%b %d %Y %H:%M:%S') || ' 10.0.0.1 <USER:NOTE> ' || event_type AS enveloped
+    FROM events WHERE event_id < 1000
+    """,
+)
+def f3_syslog_envelope(spark, sf_dir):
+    # reference: syslog header (log_processor.py:254-256), deterministic from ts
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    return ev.select(
+        "event_id",
+        F.concat(
+            F.date_format("ts", "MMM dd yyyy HH:mm:ss"),
+            F.lit(" 10.0.0.1 <USER:NOTE> "),
+            F.col("event_type"),
+        ).alias("enveloped"),
+    )
+
+
+@q(
+    "p11_filename_ts_parse",
+    """
+    SELECT event_id,
+           strftime(strptime(strftime(ts, '%Y%m%d%H%M%S'), '%Y%m%d%H%M%S'), '%Y-%m-%d %H:%M:%S') AS ts_rt
+    FROM events WHERE event_id < 500
+    """,
+)
+def p11_filename_ts_parse(spark, sf_dir):
+    # reference: filename %Y%m%d%H%M%S parse (s3_manager.py:293-302)
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    stamp = F.date_format("ts", "yyyyMMddHHmmss")
+    return ev.select(
+        "event_id",
+        F.date_format(F.to_timestamp(stamp, "yyyyMMddHHmmss"), "yyyy-MM-dd HH:mm:ss").alias("ts_rt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins / routing (J1 broadcast enrich, J2 fan-out, J3 dead letter)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "j1_broadcast_enrich",
+    """
+    SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_cust, ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def j1_broadcast_enrich(spark, sf_dir):
+    # reference: static lookup maps per record (log_processor.py:370,448-450)
+    # → broadcast equi-joins, zero shuffle on the fact side
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@q(
+    "j2_route_fanout",
+    """
+    SELECT CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 'dead_letter'
+                WHEN event_type IN ('error', 'signup') THEN 'auditable'
+                ELSE 'summary' END AS route,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def j2_route_fanout(spark, sf_dir):
+    # reference: per-type dispatch loop (main.py:272-280) → single-pass CASE route
+    ev = load(spark, sf_dir, "events")
+    route = (
+        F.when(F.get_json_object("props", "$.k").isNull(), "dead_letter")
+        .when(F.col("event_type").isin("error", "signup"), "auditable")
+        .otherwise("summary")
+        .alias("route")
+    )
+    return ev.groupBy(route).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@q(
+    "j3_dead_letter_reasons",
+    """
+    SELECT CASE WHEN text IS NULL OR TRIM(text) = '' THEN 'empty_text'
+                WHEN n_chars < 60 THEN 'too_short'
+                ELSE 'ok' END AS reason,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def j3_dead_letter_reasons(spark, sf_dir):
+    # reference: invalid line → error route (log_processor.py:353-354)
+    d = load(spark, sf_dir, "documents")
+    reason = (
+        F.when(F.col("text").isNull() | (F.trim("text") == ""), "empty_text")
+        .when(F.col("n_chars") < 60, "too_short")
+        .otherwise("ok")
+        .alias("reason")
+    )
+    return d.groupBy(reason).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations (A2 lag delta, A5/A6/A7 group-bys, A9 growth window,
+# A10 rate, A12 sample, A14 size estimate) + headline TPC-H-ish aggs
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "a2_report_delta",
+    """
+    SELECT day, n, n - LAG(n) OVER (ORDER BY day) AS delta FROM (
+        SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    )
+    """,
+)
+def a2_report_delta(spark, sf_dir):
+    # reference: current - last_report counters (health_reporter.py:99-103)
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("day")
+    return daily.select("day", "n", (F.col("n") - F.lag("n").over(w)).alias("delta"))
+
+
+@q(
+    "a5_counts_by_type",
+    "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type",
+)
+def a5_counts_by_type(spark, sf_dir):
+    # reference: SELECT log_type, COUNT(*) GROUP BY (db_stats.py:30-31)
+    return load(spark, sf_dir, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "a6_max_by_type",
+    "SELECT event_type, MAX(event_id) AS max_id FROM events GROUP BY event_type",
+)
+def a6_max_by_type(spark, sf_dir):
+    # reference: SELECT log_type, MAX(id) GROUP BY (db_stats.py:33-34)
+    return load(spark, sf_dir, "events").groupBy("event_type").agg(F.max("event_id").alias("max_id"))
+
+
+@q(
+    "a7_count_distinct",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def a7_count_distinct(spark, sf_dir):
+    # reference: COUNT(DISTINCT id) GROUP BY (db_stats.py:36-37);
+    # at 100 TB scale swap for approx_count_distinct
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@q(
+    "a9_growth_window",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_24h FROM events
+    WHERE ts >= (SELECT MAX(ts) - INTERVAL 1 DAY FROM events)
+    """,
+)
+def a9_growth_window(spark, sf_dir):
+    # reference: logs in last 1h/24h windows (db_stats.py:68-85)
+    ev = load(spark, sf_dir, "events")
+    cutoff = ev.agg((F.max("ts") - F.expr("INTERVAL 1 DAY")).alias("cut"))
+    return (
+        ev.join(F.broadcast(cutoff))
+        .filter(F.col("ts") >= F.col("cut"))
+        .agg(F.count(F.lit(1)).alias("n_24h"))
+    )
+
+
+@q(
+    "a10_processing_rate",
+    """
+    SELECT event_type,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / (epoch(MAX(ts)) - epoch(MIN(ts))), 6) AS rows_per_sec
+    FROM events GROUP BY event_type
+    """,
+)
+def a10_processing_rate(spark, sf_dir):
+    # reference: MPS gauges (log_processor.py:198-209, s3_analyzer.py:241-247)
+    ev = load(spark, sf_dir, "events")
+    span = F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+    return ev.groupBy("event_type").agg(
+        F.round(F.count(F.lit(1)).cast("double") / span, 6).alias("rows_per_sec")
+    )
+
+
+@q(
+    "a12_deterministic_sample",
+    """
+    SELECT event_id, event_type FROM events
+    WHERE (event_id * 2654435761) % 4096 < 40 ORDER BY event_id
+    """,
+)
+def a12_deterministic_sample(spark, sf_dir):
+    # reference: ORDER BY RANDOM() LIMIT 1 (db_stats.py:105-109) — made
+    # deterministic via a Knuth multiplicative hash so both engines agree
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter((F.col("event_id") * 2654435761) % 4096 < 40)
+        .select("event_id", "event_type")
+        .orderBy("event_id")
+    )
+
+
+@q(
+    "a14_size_estimation",
+    """
+    SELECT source, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY source
+    """,
+)
+def a14_size_estimation(spark, sf_dir):
+    # reference: sum(Size)/100 estimate (s3_manager.py:269-271)
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    # headline scan-agg (TPC-H Q1 shape): partial agg map-side, 4 groups
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "q3_revenue_topn",
+    """
+    SELECT o_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def q3_revenue_topn(spark, sf_dir):
+    # headline join-agg (TPC-H Q3 shape): broadcast dim, shuffle on orderkey
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
+        .groupBy("o_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 ordering (O1 stable per-key order)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "o1_stable_order",
+    """
+    SELECT user_id, event_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS rn
+    FROM events WHERE user_id < 20
+    """,
+)
+def o1_stable_order(spark, sf_dir):
+    # reference: FIFO by autoincrement id (log_processor.py:137,157) →
+    # per-key stable ordering via window
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select("user_id", "event_id", F.row_number().over(w).alias("rn"))

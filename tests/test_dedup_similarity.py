@@ -1,0 +1,87 @@
+"""Unit tests for dedup + similarity operators (SURVEY.md §5.1 style:
+tiny in-memory DataFrames vs hand-computed expectations)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from illumio_spark.operators import dedup as D
+from illumio_spark.operators import similarity as SIM
+from illumio_spark.functions import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog tonight"),
+        (1, "the quick brown fox jumps over the lazy dog tonight"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy dog tonight ok"),  # near dup
+        (3, "completely different words about spark shuffles and joins"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r.keeper: r.n_copies for r in D.exact_dedup_keepers(docs).collect()}
+    assert out[0] == 2  # docs 0,1 collapse; keeper = min id
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_ngram_jaccard_hand_computed(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in D.ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    assert pairs[(0, 1)] == 1.0
+    # doc2 = doc0 + 1 word: shingles 8 vs 9, common 8 → 8/9
+    assert abs(pairs[(0, 2)] - round(8 / 9, 6)) < 1e-9
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    sh = D.word_shingles(F.col("text"), 3)
+    sigs = docs.select("doc_id", *D.minhash_signature(sh))
+    sigs = sigs.select("*", *D.lsh_bands())
+    pairs = {(r.id_a, r.id_b) for r in D.lsh_candidate_pairs(sigs).collect()}
+    assert (0, 1) in pairs  # exact dup always collides on every band
+    assert (0, 3) not in pairs and (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_hamming(spark, docs):
+    sig = docs.withColumn("sig", TX.simhash(F.col("text"))).collect()
+    s = {r.doc_id: r.sig for r in sig}
+    assert s[0] == s[1]  # identical text → identical signature
+    ham02 = bin((s[0] ^ s[2]) & ((1 << 64) - 1)).count("1")
+    ham03 = bin((s[0] ^ s[3]) & ((1 << 64) - 1)).count("1")
+    assert ham02 < ham03  # near dup closer than unrelated
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.Generator(np.random.PCG64(7))
+    vecs = rng.standard_normal((60, 16)).astype(np.float32)
+    vecs[1] = vecs[0] + 0.01 * rng.standard_normal(16).astype(np.float32)  # near dup of 0
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(emb):
+    qs = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    out = SIM.brute_force_topk(emb, qs, k=5).collect()
+    assert len(out) == 5
+    by_rank = {r.rank: r.neighbor_id for r in out}
+    assert by_rank[1] == 1  # the injected near-duplicate is the top neighbor
+
+
+def test_lsh_topk_recall(emb):
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    exact = SIM.brute_force_topk(emb, qs, k=5).collect()
+    approx = SIM.lsh_topk(emb, qs, k=5, n_planes=2, dim=16, n_tables=4).collect()
+    exact_set = {(r.qid, r.neighbor_id) for r in exact}
+    approx_set = {(r.qid, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5  # 4 tables × 2 planes (OR-construction)
+    # multi-table probing must catch the near-dup pair even when one table
+    # splits it across a hyperplane boundary
+    assert (0, 1) in approx_set
