@@ -1,0 +1,134 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+The transcript-pipeline end-to-end run (parse→enrich→route→aggregate →
+sinks) is the headline metric; its input is synthesized deterministically
+once per scale and cached under .bench_cache/ so the measured time is the
+pipeline, not the generator. Query results are forced with the noop sink
+(full execution, no collect/IO skew).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+# conversations per unit SF (mean ≈ 13.3 turns/conv → sf0.1 ≈ 1M turns)
+CONV_PER_SF = 750_000
+HOT_FRAC = 0.2
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_revenue_topn",
+    "j1_broadcast_enrich",
+    "a7_count_distinct",
+    "j2_route_fanout",
+    "td_exact_dedup",
+    "td_minhash_signature",
+    "td_ann_cosine_topk",
+    "td_token_count",
+]
+
+
+def sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def transcripts_path(spark, sf: float) -> tuple[str, int]:
+    """Deterministic cached transcript input for this scale."""
+    n_conv = max(int(sf * CONV_PER_SF), 200)
+    path = os.path.join(CACHE_DIR, f"transcripts_nconv{n_conv}.parquet")
+    meta = path + ".meta.json"
+    if not (os.path.exists(path) and os.path.exists(meta)):
+        from illumio_spark import synth
+
+        df = synth.generate_spark(spark, n_conv, hot_frac=HOT_FRAC, parallelism=64)
+        df.write.mode("overwrite").parquet(path)
+        n = spark.read.parquet(path).count()
+        with open(meta, "w") as f:
+            json.dump({"n_turns": n, "n_conv": n_conv}, f)
+    with open(meta) as f:
+        return path, json.load(f)["n_turns"]
+
+
+def bench_pipeline(spark, sf: float, warmup: bool = True) -> tuple[float, int]:
+    from illumio_spark.plans.pipeline import run_pipeline
+    from illumio_spark.sources.tableio import TableIO
+
+    path, n_turns = transcripts_path(spark, sf)
+    out = tempfile.mkdtemp(prefix="bench_sinks_")
+    try:
+        df = spark.read.parquet(path)
+        if warmup:
+            # JIT/codegen warm at full shape (limit() slices change the plan
+            # and leave the hot paths cold); report steady-state like a real
+            # long-running cluster job, where cold-start amortizes to zero
+            for _ in range(2):
+                run_pipeline(spark, df, io=TableIO(out + "_warm"), run_id="warm")
+                shutil.rmtree(out + "_warm", ignore_errors=True)
+        t0 = time.time()
+        run_pipeline(spark, df, io=TableIO(out), run_id="bench")
+        return time.time() - t0, n_turns
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_of(sf_dir)
+
+    from illumio_spark.session import build_session
+    import __spark_entry__ as entry_mod
+
+    spark = build_session(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+
+    elapsed, n_turns = bench_pipeline(spark, sf)
+    queries["pipeline_e2e"] = round(elapsed, 3)
+    turns_per_sec = n_turns / elapsed
+
+    qmap = entry_mod.queries()
+    for name in HEADLINE:
+        t0 = time.time()
+        qmap[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        queries[name] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "pipeline_turns": n_turns,
+                "pipeline_turns_per_sec": round(turns_per_sec, 1),
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

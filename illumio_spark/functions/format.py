@@ -34,8 +34,8 @@ def siem_field_columns() -> dict[str, Column]:
     emitted (FIELD_ORDER filtering drops them anyway).
     """
     is_audit = F.col("event_class") == S.CLASS_AUDITABLE
-    s = lambda f: _clean(F.col(f"summary.{f}"))  # noqa: E731
-    a = lambda f: _clean(F.col(f"audit.{f}"))  # noqa: E731
+    s = lambda f: _clean(F.col(f"s_{f}"))  # noqa: E731
+    a = lambda f: _clean(F.col(f"a_{f}"))  # noqa: E731
     device_type = F.when(is_audit, S.DEVICE_TYPE_AUDIT).otherwise(S.DEVICE_TYPE_SUMMARY)
 
     return {

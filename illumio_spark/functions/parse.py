@@ -1,73 +1,116 @@
 """Vectorized parse + classification of transcript turns.
 
 The grok core (reference app/log_processor.py:344-356 NDJSON parse and
-:399-461 per-class extraction) re-expressed as:
-  - summary class: ONE Arrow-batched pandas UDF doing a single
-    ``pd.Series.str.extract`` pass with named groups (P1 in SURVEY.md §2.2;
-    the input_hint-mandated vectorized path — never per-row Python),
-  - auditable class: JVM-side ``from_json`` against an explicit StructType
-    (stays inside whole-stage codegen).
+:399-461 per-class extraction) as ONE Arrow-batched ``mapInPandas`` pass:
+a single vectorized ``pd.Series.str.extract`` for the summary class, a
+json.loads over only the audit-candidate minority for the auditable class,
+and numpy masks for routing — never per-row Python over the hot path.
+
+mapInPandas (not a scalar struct UDF) is deliberate: a struct-returning
+pandas UDF gets re-evaluated once per field reference after Catalyst's
+projection collapse (measured 3-10× re-execution); mapInPandas is a real
+materialization barrier, so Python runs exactly once per batch.
 
 Routing semantics (mirrors oracle.parse_text exactly):
-  1. null/blank text            → dead letter, reason 'empty_text'
-  2. full summary-regex match   → event_class 'summary'
-  3. JSON object w/ non-blank event_type → event_class 'auditable'
-  4. anything else              → dead letter, reason 'unparseable'
+  1. null/blank text                      → dead letter, 'empty_text'
+  2. full summary-regex match             → event_class 'summary'
+  3. JSON object w/ non-blank event_type  → event_class 'auditable'
+  4. anything else                        → dead letter, 'unparseable'
 """
 
 from __future__ import annotations
 
+import json
+from collections.abc import Iterator
+
+import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
-from pyspark.sql.functions import pandas_udf
+from pyspark.sql import DataFrame, types as T
 
 from illumio_spark import schema as S
 
-SUMMARY_STRUCT = T.StructType(
-    [T.StructField(f, T.StringType(), True) for f in S.SUMMARY_TEXT_FIELDS]
-)
+SUMMARY_COLS = [f"s_{f}" for f in S.SUMMARY_TEXT_FIELDS]
+AUDIT_COLS = [f"a_{f}" for f in S.AUDIT_JSON_FIELDS]
+
+PARSED_FIELDS = [
+    *[T.StructField(c, T.StringType(), True) for c in SUMMARY_COLS],
+    *[T.StructField(c, T.StringType(), True) for c in AUDIT_COLS],
+    T.StructField("event_class", T.StringType(), True),
+    T.StructField("error_reason", T.StringType(), True),
+]
 
 
-@pandas_udf(SUMMARY_STRUCT)
-def extract_summary(text: pd.Series) -> pd.DataFrame:
-    """One vectorized regex pass over an Arrow batch of turn texts."""
-    out = text.str.extract(S.SUMMARY_TEXT_REGEX)
-    out.columns = S.SUMMARY_TEXT_FIELDS
+def parsed_schema(input_schema: T.StructType) -> T.StructType:
+    return T.StructType(list(input_schema.fields) + PARSED_FIELDS)
+
+
+def _coerce(v):
+    """safe_get-compatible scalar coercion for audit JSON values."""
+    if v is None:
+        return None
+    if isinstance(v, str):
+        return v
+    return json.dumps(v) if isinstance(v, (dict, list)) else str(v)
+
+
+def parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    text = pdf["text"]
+    notnull = text.notna()
+    stripped = text.where(notnull, "").str.strip()
+    blank = ~notnull | (stripped == "")
+
+    # summary class: one vectorized regex pass (named groups)
+    sm = text.where(notnull, "").str.extract(S.SUMMARY_TEXT_REGEX)
+    sm.columns = SUMMARY_COLS
+    is_summary = sm["s_act"].notna().to_numpy()
+
+    # auditable class: json.loads over candidates only (~9% of rows)
+    is_cand = (~blank) & (~is_summary) & stripped.str.startswith("{")
+    audit = pd.DataFrame(index=pdf.index, columns=AUDIT_COLS, dtype=object)
+    is_audit = np.zeros(len(pdf), dtype=bool)
+    cand_idx = np.flatnonzero(is_cand.to_numpy())
+    if len(cand_idx):
+        texts = text.to_numpy()
+        pos = {c: i for i, c in enumerate(AUDIT_COLS)}
+        vals = np.full((len(pdf), len(AUDIT_COLS)), None, dtype=object)
+        for i in cand_idx:
+            try:
+                obj = json.loads(texts[i])
+            except (json.JSONDecodeError, ValueError):
+                continue
+            if not isinstance(obj, dict):
+                continue
+            et = obj.get("event_type")
+            if et is None or (isinstance(et, str) and not et.strip()):
+                continue
+            is_audit[i] = True
+            for f in S.AUDIT_JSON_FIELDS:
+                vals[i, pos[f"a_{f}"]] = _coerce(obj.get(f))
+        audit = pd.DataFrame(vals, index=pdf.index, columns=AUDIT_COLS)
+
+    event_class = np.where(
+        blank, None, np.where(is_summary, S.CLASS_SUMMARY, np.where(is_audit, S.CLASS_AUDITABLE, None))
+    )
+    error_reason = np.where(
+        blank, S.ERROR_EMPTY, np.where(is_summary | is_audit, None, S.ERROR_UNPARSEABLE)
+    )
+
+    out = pdf.copy()
+    for c in SUMMARY_COLS:
+        out[c] = sm[c]  # NaN (→ null) wherever the regex didn't match
+    for c in AUDIT_COLS:
+        out[c] = audit[c]
+    out["event_class"] = event_class
+    out["error_reason"] = error_reason
     return out
 
 
-def _clean(c):
-    """safe_get semantics (app/log_processor.py:391-397): trim, ''→null."""
-    return F.nullif(F.trim(c), F.lit(""))
-
-
 def parse_turns(df: DataFrame) -> DataFrame:
-    """transcripts → + summary struct, audit struct, event_class, error_reason."""
-    is_blank = F.col("text").isNull() | (F.trim(F.col("text")) == "")
+    """transcripts → + flat parsed columns, event_class, error_reason."""
+    schema = parsed_schema(df.schema)
 
-    df = df.withColumn("summary", extract_summary(F.col("text")))
-    # cheap prefilter keeps from_json off the 90% summary-class rows
-    df = df.withColumn(
-        "audit",
-        F.when(
-            F.ltrim(F.col("text")).startswith("{"),
-            F.from_json(F.col("text"), S.AUDIT_JSON_SCHEMA),
-        ),
-    )
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield parse_batch(pdf)
 
-    audit_ok = _clean(F.col("audit.event_type")).isNotNull()
-    summary_ok = F.col("summary.act").isNotNull()
-
-    df = df.withColumn(
-        "event_class",
-        F.when(is_blank, F.lit(None).cast("string"))
-        .when(summary_ok, F.lit(S.CLASS_SUMMARY))
-        .when(audit_ok, F.lit(S.CLASS_AUDITABLE)),
-    )
-    df = df.withColumn(
-        "error_reason",
-        F.when(is_blank, F.lit(S.ERROR_EMPTY)).when(
-            F.col("event_class").isNull(), F.lit(S.ERROR_UNPARSEABLE)
-        ),
-    )
-    return df
+    return df.mapInPandas(run, schema=schema)

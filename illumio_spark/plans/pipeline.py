@@ -3,33 +3,38 @@
 One declarative DataFrame plan per run (reference: the hand-rolled poll
 loop + per-type dispatch at app/main.py:272-384):
 
-  transcripts ──parse (pandas-UDF grok + from_json)
+  transcripts ──parse (ONE mapInPandas grok pass, Arrow-batched)
               ──enrich (broadcast equi-join, (role,tool)→event_type→severity)
               ──format (JVM concat expressions, byte-equal routed_text)
-              ──fan-out (single cached pass → routed_events / dead_letter /
-                         rollups / checkpoints sinks)
+              ──fan-out (ONE write job: sinks as partition values +
+                         df.observe for exact rollup counts)
 
-Scale notes (the 100 TB design point):
-  - lookup joins are broadcast (≤ 32 rows each) — zero shuffle for enrich.
-  - the only shuffles are the final repartitionByRange for the ordered
-    sink layout (range partitioner samples keys, so a hot conversation is
-    split across partitions — skew-proof while preserving global
-    (conv_id, turn_idx) order) and the tiny rollup aggregation (3 groups,
-    map-side partial agg).
-  - parse+enrich+format pipeline into one whole-stage-codegen pass over
-    the scan; the pandas UDF is the single Python stage, Arrow-batched.
+Scale design (the 100 TB point — each decision is a shuffle/pass saved):
+  - exactly ONE full pass over the input: routed_events and dead_letter are
+    partition values of a single partitioned write (J2 fan-out without a
+    second job), rollup counts ride the same job via df.observe (A1
+    without an aggregation pass), checkpoints aggregate the column-pruned
+    read-back of the committed output (reads only `ts`, never the text).
+  - no persist/cache: nothing is materialized twice, so executor memory
+    stays available to the shuffle.
+  - lookup joins are broadcast (≤ 32 rows) — zero shuffle to enrich.
+  - ordering/skew: hash repartition on (conv_id, turn_block) splits hot
+    conversations into bounded blocks (reference FIFO had them serialize
+    behind one queue, app/log_processor.py:129-169); sortWithinPartitions
+    restores (conv_id, turn_idx) order per file. Hash partitioning avoids
+    repartitionByRange's extra sampling pass over the (expensive) parse.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.storagelevel import StorageLevel
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from illumio_spark import schema as S
 from illumio_spark.functions.format import with_routed_text
 from illumio_spark.functions.parse import parse_turns
 
 NULL_TOOL_KEY = "__none__"
+TURN_BLOCK = 4096  # max turns of one conversation per partition (skew bound)
 
 
 def enrichment_lookup(spark: SparkSession) -> DataFrame:
@@ -59,13 +64,30 @@ def parse_enrich_format(spark: SparkSession, transcripts: DataFrame) -> DataFram
     clean = lambda c: F.nullif(F.trim(c), F.lit(""))  # noqa: E731
     df = df.withColumn(
         "event_type",
-        F.when(is_audit, clean(F.col("audit.event_type"))).otherwise(F.col("lk_event_type")),
+        F.when(is_audit, clean(F.col("a_event_type"))).otherwise(F.col("lk_event_type")),
     ).withColumn(
         "severity",
-        F.when(is_audit, clean(F.col("audit.severity"))).otherwise(F.col("lk_severity")),
+        F.when(is_audit, clean(F.col("a_severity"))).otherwise(F.col("lk_severity")),
     ).drop("lk_event_type", "lk_severity")
 
     return with_routed_text(df)
+
+
+def fanout_frame(enriched: DataFrame) -> DataFrame:
+    """Union sink frame: one row per turn, `sink` column names its route."""
+    ok = F.col("event_class").isNotNull()
+    return enriched.select(
+        "conv_id",
+        "turn_idx",
+        "event_class",
+        "event_type",
+        "severity",
+        F.when(ok, F.col("routed_text")).alias("routed_text"),
+        F.when(~ok, F.col("text")).alias("raw_text"),
+        "error_reason",
+        "ts",
+        F.when(ok, F.lit("routed_events")).otherwise(F.lit("dead_letter")).alias("sink"),
+    )
 
 
 def routed_events(enriched: DataFrame) -> DataFrame:
@@ -84,49 +106,38 @@ def dead_letter(enriched: DataFrame) -> DataFrame:
     )
 
 
-def ordered_for_sink(df: DataFrame, n_partitions: int | None = None) -> DataFrame:
+def ordered_for_sink(
+    df: DataFrame,
+    n_partitions: int | None = None,
+    sort: bool = True,
+    turn_block: int = TURN_BLOCK,
+) -> DataFrame:
     """Stable (conv_id, turn_idx) layout — the FIFO invariant (O1).
 
-    repartitionByRange samples the key distribution, so a hot conversation
-    (skew fixture) is split across several range partitions while the
-    global order across output files remains (conv_id, turn_idx).
-    """
-    parts = [F.col("conv_id"), F.col("turn_idx")]
-    if n_partitions:
-        df = df.repartitionByRange(n_partitions, *parts)
-    else:
-        df = df.repartitionByRange(*parts)
-    return df.sortWithinPartitions("conv_id", "turn_idx")
+    Hash repartition on (conv_id, turn_idx div turn_block): a hot
+    conversation is split into bounded ordered blocks across partitions
+    (skew-proof), each output file is sorted, and sorting the file set by
+    (conv_id, turn_idx) reconstructs the total order."""
+    block = (F.col("turn_idx") / turn_block).cast("int")
+    parts = [F.col("conv_id"), block]
+    df = df.repartition(n_partitions, *parts) if n_partitions else df.repartition(*parts)
+    return df.sortWithinPartitions("conv_id", "turn_idx") if sort else df
 
 
-def rollups(enriched: DataFrame, run_id: str, spark: SparkSession) -> DataFrame:
-    """Per-sink row counts (reference health counters,
-    app/health_reporter.py:31-33,127-142 → A1)."""
-    counts = (
-        enriched.groupBy("event_class")
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .collect()  # ≤ 3 aggregate rows — driver-side is correct here
-    )
-    rows = []
-    dead_n = 0
-    for r in counts:
-        if r["event_class"] is None:
-            dead_n = r["n_rows"]
-        else:
-            rows.append((r["event_class"], "routed_events", r["n_rows"], run_id))
-    rows.append((None, "dead_letter", dead_n, run_id))
+def rollups_from_counts(counts: dict, run_id: str, spark: SparkSession) -> DataFrame:
+    rows = [
+        (S.CLASS_SUMMARY, "routed_events", counts.get("n_summary", 0), run_id),
+        (S.CLASS_AUDITABLE, "routed_events", counts.get("n_auditable", 0), run_id),
+        (None, "dead_letter", counts.get("n_dead", 0), run_id),
+    ]
     return spark.createDataFrame(rows, S.ROLLUPS_SCHEMA)
 
 
-def checkpoints(enriched: DataFrame, run_id: str) -> DataFrame:
-    """Per-partition watermarks for resume (reference state.json → T3).
-
-    partition_key = event-day; with Iceberg this would be the days(ts)
-    partition transform. A re-run anti-joins its input days against the
-    committed keys (see plans/resume.py).
-    """
+def checkpoints_from_output(out_df: DataFrame, run_id: str) -> DataFrame:
+    """Per-partition watermarks (reference state.json → T3) from the
+    committed output — column-pruned scan of ts only."""
     return (
-        enriched.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("partition_key"))
+        out_df.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("partition_key"))
         .agg(F.max("ts").alias("max_ts"), F.count(F.lit(1)).alias("n_rows"))
         .withColumn("lineage_id", F.concat(F.lit(run_id), F.lit(":"), F.col("partition_key")))
         .select("partition_key", "max_ts", "n_rows", "lineage_id")
@@ -140,26 +151,70 @@ def run_pipeline(
     run_id: str = "run0",
     sink_partitions: int | None = None,
 ):
-    """Execute the full fan-out. Returns the sink DataFrames; writes them
-    when a TableIO is given (J2 multi-sink fan-out from ONE cached pass)."""
+    """Execute the full fan-out.
+
+    With a TableIO: ONE write job over the input (sinks are partition
+    values, rollups ride via observe, checkpoints from read-back); returns
+    the read-back sink DataFrames.
+    Without: returns the lazy sink DataFrames (test mode).
+
+    The (conv_id, turn_block) repartition happens on the NARROW input —
+    before parse widens rows ~6× — so the only shuffle in the plan moves
+    the minimum bytes AND fixes scan under-parallelism on small/compacted
+    inputs (maxPartitionBytes can pack a whole small table into one task).
+    mapInPandas/projections preserve partitioning, so every downstream
+    file is (conv_id, turn_idx)-sorted with no further exchange."""
+    if io is not None:
+        transcripts = ordered_for_sink(transcripts, sink_partitions, sort=False)
     enriched = parse_enrich_format(spark, transcripts)
-    enriched.persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        routed = ordered_for_sink(routed_events(enriched), sink_partitions)
-        dead = ordered_for_sink(dead_letter(enriched), sink_partitions)
-        roll = rollups(enriched, run_id, spark)
-        ckpt = checkpoints(enriched, run_id)
-        if io is not None:
-            io.write(routed, "routed_events", run_id)
-            io.write(dead, "dead_letter", run_id)
-            io.write(roll, "rollups", run_id)
-            io.write(ckpt, "checkpoints", run_id)
-        return {
-            "routed_events": routed,
-            "dead_letter": dead,
-            "rollups": roll,
-            "checkpoints": ckpt,
+
+    if io is None:
+        out = {
+            "routed_events": routed_events(enriched),
+            "dead_letter": dead_letter(enriched),
+            "rollups": None,  # computed below without observe
+            "checkpoints": None,
         }
-    finally:
-        if io is not None:
-            enriched.unpersist()
+        counts = {
+            r["event_class"]: r["n"]
+            for r in enriched.groupBy("event_class")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        out["rollups"] = rollups_from_counts(
+            {
+                "n_summary": counts.get(S.CLASS_SUMMARY, 0),
+                "n_auditable": counts.get(S.CLASS_AUDITABLE, 0),
+                "n_dead": counts.get(None, 0),
+            },
+            run_id,
+            spark,
+        )
+        out["checkpoints"] = checkpoints_from_output(fanout_frame(enriched), run_id)
+        return out
+
+    obs = Observation("rollups")
+    fan = fanout_frame(enriched).observe(
+        obs,
+        F.count(F.when(F.col("event_class") == S.CLASS_SUMMARY, 1)).alias("n_summary"),
+        F.count(F.when(F.col("event_class") == S.CLASS_AUDITABLE, 1)).alias("n_auditable"),
+        F.count(F.when(F.col("event_class").isNull(), 1)).alias("n_dead"),
+    )
+    ordered = fan.sortWithinPartitions("conv_id", "turn_idx")
+    io.write(ordered, "pipeline_out", run_id, partition_by=["sink"])
+
+    roll = rollups_from_counts(obs.get, run_id, spark)
+    io.write(roll, "rollups", run_id)
+
+    out_df = io.read_sink(spark, "routed_events", run_id).select("ts").unionByName(
+        io.read_sink(spark, "dead_letter", run_id).select("ts")
+    )
+    ckpt = checkpoints_from_output(out_df, run_id)
+    io.write(ckpt, "checkpoints", run_id)
+
+    return {
+        "routed_events": io.read_sink(spark, "routed_events", run_id),
+        "dead_letter": io.read_sink(spark, "dead_letter", run_id),
+        "rollups": io.read(spark, "rollups", run_id),
+        "checkpoints": io.read(spark, "checkpoints", run_id),
+    }

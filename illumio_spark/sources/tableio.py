@@ -52,13 +52,28 @@ class TableIO:
         os.replace(tmp, self._manifest_path(table))  # atomic commit
 
     # -- write/read ----------------------------------------------------------
-    def write(self, df: DataFrame, table: str, run_id: str, mode: str = "overwrite") -> str:
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        run_id: str,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> str:
         if self.use_iceberg:
             full = f"local.db.{table}"
-            df.writeTo(full).createOrReplace() if mode == "overwrite" else df.writeTo(full).append()
+            w = df.writeTo(full)
+            if partition_by:
+                from pyspark.sql.functions import col
+
+                w = w.partitionedBy(*[col(c) for c in partition_by])
+            w.createOrReplace() if mode == "overwrite" else w.append()
             return full
         path = os.path.join(self.root, table, f"run_id={run_id}")
-        df.write.mode(mode).parquet(path)
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
         self._commit_manifest(table, run_id, path, df.schema.simpleString())
         return path
 
@@ -70,7 +85,30 @@ class TableIO:
         runs = self._load_manifest(table)["runs"]
         if not runs:
             raise FileNotFoundError(f"no committed runs for table {table}")
-        return spark.read.parquet(*[r["path"] for r in runs])
+        # per-run reads unioned so hive-style partition discovery (e.g. the
+        # `sink` column) resolves against each run's own base path
+        dfs = [spark.read.parquet(r["path"]) for r in runs]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
 
     def committed_runs(self, table: str) -> list[str]:
         return [r["run_id"] for r in self._load_manifest(table)["runs"]]
+
+    # -- logical sinks over the one-pass partitioned fan-out table -----------
+    SINK_COLUMNS = {
+        "routed_events": [
+            "conv_id", "turn_idx", "event_class", "event_type", "severity", "routed_text", "ts",
+        ],
+        "dead_letter": ["conv_id", "turn_idx", "raw_text", "error_reason", "ts"],
+    }
+
+    def read_sink(self, spark: SparkSession, sink: str, run_id: str | None = None) -> DataFrame:
+        """routed_events / dead_letter as views over pipeline_out's `sink`
+        partition — partition pruning makes this a targeted directory read."""
+        cols = self.SINK_COLUMNS[sink]
+        df = self.read(spark, "pipeline_out", run_id)
+        from pyspark.sql.functions import col
+
+        return df.filter(col("sink") == sink).select(*cols)
