@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from illumio_spark.queries.catalog import QUERIES, load  # noqa: E402
 import illumio_spark.queries.catalog_td  # noqa: F401,E402
 import illumio_spark.queries.catalog_pipeline  # noqa: F401,E402
+import illumio_spark.queries.catalog_ext  # noqa: F401,E402
 
 SF_SMOKE = "/root/testdata/sf0.001"
 

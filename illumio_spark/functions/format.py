@@ -36,6 +36,9 @@ def siem_field_columns() -> dict[str, Column]:
     is_audit = F.col("event_class") == S.CLASS_AUDITABLE
     s = lambda f: _clean(F.col(f"s_{f}"))  # noqa: E731
     a = lambda f: _clean(F.col(f"a_{f}"))  # noqa: E731
+    # fields whose regex capture is \d+ need no trim/escape: digits can't be
+    # blank, padded, or contain '|' — identical bytes, fewer allocations
+    num = lambda f: F.col(f"s_{f}")  # noqa: E731
     device_type = F.when(is_audit, S.DEVICE_TYPE_AUDIT).otherwise(S.DEVICE_TYPE_SUMMARY)
 
     return {
@@ -55,10 +58,10 @@ def siem_field_columns() -> dict[str, Column]:
             F.when(F.col("role") == "user", "interactive").otherwise("automated"),
         ),
         "process": _clean(F.col("tool")),
-        "quantity": F.when(~is_audit, s("count")),
-        "seconds": F.when(~is_audit, s("interval_sec")),
-        "kilobytesin": F.when(~is_audit, s("bytes_in")),
-        "kilobytesout": F.when(~is_audit, s("bytes_out")),
+        "quantity": F.when(~is_audit, num("count")),
+        "seconds": F.when(~is_audit, num("interval_sec")),
+        "kilobytesin": F.when(~is_audit, num("bytes_in")),
+        "kilobytesout": F.when(~is_audit, num("bytes_out")),
         "severity": _clean(F.col("severity")),
         "vmid": F.when(is_audit, a("event_type")),
         "vendorinfo": F.when(~is_audit, _clean(F.col("event_type"))),
@@ -68,6 +71,17 @@ def siem_field_columns() -> dict[str, Column]:
         "tag2": F.when(is_audit, a("api_endpoint")),
         "tag3": F.when(is_audit, a("api_method")),
     }
+
+
+# provably '|'-free and non-blank when non-null: skip escaping + emptiness
+# checks for these in the formatter (byte-identical output by construction)
+_NO_ESCAPE_FIELDS = {
+    "time",  # date_format output
+    "version",  # int cast
+    "sessiontype",  # literal vocabulary
+    "tag1",  # literal device types
+    "quantity", "seconds", "kilobytesin", "kilobytesout",  # \d+ captures
+}
 
 
 def formatted_log_column() -> Column:
@@ -85,12 +99,14 @@ def formatted_log_column() -> Column:
         if name not in fields:
             continue
         v = fields[name]
-        parts.append(
-            F.when(
+        if name in _NO_ESCAPE_FIELDS:
+            piece = F.when(v.isNotNull(), F.concat(F.lit(f"|{name}="), v)).otherwise("")
+        else:
+            piece = F.when(
                 v.isNotNull() & (v != ""),
                 F.concat(F.lit(f"|{name}="), F.replace(v, F.lit("|"), F.lit("_"))),
             ).otherwise("")
-        )
+        parts.append(piece)
     return F.concat(*parts)
 
 

@@ -1,0 +1,192 @@
+"""Extended operator coverage: remaining SURVEY.md §2 rows and set ops.
+
+a8 running-max merge, s15 head-sample scan utility, s16 file-rate monitor,
+p3 audit projection rename-map, set operations (union/intersect/except),
+and the fully-oracle-checked minhash-LSH candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from illumio_spark.operators import dedup as D
+from illumio_spark.queries.catalog import load, q
+from illumio_spark.queries.catalog_td import _NEARDUP_SQL_CORPUS, _neardup_corpus
+
+
+@q(
+    "a8_running_max_merge",
+    """
+    WITH a AS (SELECT event_type, MAX(event_id) AS max_id, CAST(COUNT(*) AS BIGINT) AS n
+               FROM events WHERE ts <  TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1),
+         b AS (SELECT event_type, MAX(event_id) AS max_id, CAST(COUNT(*) AS BIGINT) AS n
+               FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1)
+    SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+           GREATEST(COALESCE(a.max_id, -1), COALESCE(b.max_id, -1)) AS highest_id,
+           COALESCE(a.n, 0) + COALESCE(b.n, 0) AS total
+    FROM a FULL OUTER JOIN b ON a.event_type = b.event_type
+    """,
+)
+def a8_running_max_merge(spark, sf_dir):
+    # reference: INSERT OR REPLACE history keeping max totals (db_stats.py:40-52)
+    # → MERGE-style full-outer combine of two run snapshots
+    ev = load(spark, sf_dir, "events")
+    mid = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    a = (
+        ev.filter(F.col("ts") < mid)
+        .groupBy("event_type")
+        .agg(F.max("event_id").alias("max_id"), F.count(F.lit(1)).alias("n"))
+    ).alias("a")
+    b = (
+        ev.filter(F.col("ts") >= mid)
+        .groupBy("event_type")
+        .agg(F.max("event_id").alias("max_id"), F.count(F.lit(1)).alias("n"))
+    ).alias("b")
+    return a.join(b, F.col("a.event_type") == F.col("b.event_type"), "full_outer").select(
+        F.coalesce(F.col("a.event_type"), F.col("b.event_type")).alias("event_type"),
+        F.greatest(
+            F.coalesce(F.col("a.max_id"), F.lit(-1)), F.coalesce(F.col("b.max_id"), F.lit(-1))
+        ).alias("highest_id"),
+        (F.coalesce(F.col("a.n"), F.lit(0)) + F.coalesce(F.col("b.n"), F.lit(0))).alias("total"),
+    )
+
+
+@q(
+    "s15_head_sample",
+    """
+    SELECT source, doc_id, substr(text, 1, 40) AS head FROM (
+        SELECT source, doc_id, text,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 3
+    """,
+)
+def s15_head_sample(spark, sf_dir):
+    # reference: first-N lines per folder (s3_analyzer.py:56-131)
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("source", "doc_id", F.substring("text", 1, 40).alias("head"))
+    )
+
+
+@q(
+    "s16_rate_monitor",
+    """
+    SELECT bucket_start, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) / 21600.0, 6) AS rows_per_sec
+    FROM (SELECT (epoch(ts)::BIGINT // 21600) * 21600 AS bucket_start FROM events)
+    GROUP BY bucket_start
+    """,
+)
+def s16_rate_monitor(spark, sf_dir):
+    # reference: poll-interval file/row rate monitor (s3_analyzer.py:172-304);
+    # epoch-aligned buckets so both engines agree on boundaries
+    ev = load(spark, sf_dir, "events")
+    bucket = (F.unix_timestamp("ts") / 21600).cast("bigint") * 21600
+    return ev.groupBy(bucket.alias("bucket_start")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.count(F.lit(1)) / 21600.0, 6).alias("rows_per_sec"),
+    )
+
+
+@q(
+    "p3_audit_projection",
+    """
+    SELECT event_id AS id, event_type AS vmid,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S') AS time,
+           CAST(value AS VARCHAR) AS amount
+    FROM events WHERE event_id < 2000
+    """,
+)
+def p3_audit_projection(spark, sf_dir):
+    # reference: audit rename-map w/ stringified numerics
+    # (log_processor.py:399-409 P3 + :433 stringification)
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return ev.select(
+        F.col("event_id").alias("id"),
+        F.col("event_type").alias("vmid"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("time"),
+        F.col("value").cast("string").alias("amount"),
+    )
+
+
+@q(
+    "set_intersect_users",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def set_intersect_users(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "click").select("user_id").intersect(
+        ev.filter(F.col("event_type") == "purchase").select("user_id")
+    )
+
+
+@q(
+    "set_except_events",
+    """
+    SELECT event_id FROM events WHERE value > 480
+    EXCEPT
+    SELECT event_id FROM events WHERE event_type = 'error'
+    """,
+)
+def set_except_events(spark, sf_dir):
+    # high-value events that are not error-class (EXCEPT-distinct semantics)
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(F.col("value") > 480).select("event_id").subtract(
+        ev.filter(F.col("event_type") == "error").select("event_id")
+    )
+
+
+def _minhash_sql(corpus_sql: str, n: int = 8) -> str:
+    mins = ",\n           ".join(f"MIN(md5('s{i}-' || s)) AS mh{i}" for i in range(n))
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    sh AS (
+        SELECT doc_id, UNNEST(list_distinct(list_transform(
+            range(1, GREATEST(len(string_split_regex(TRIM(text), '\\s+')) - 1, 1)),
+            i -> string_split_regex(TRIM(text), '\\s+')[i] || ' ' ||
+                 string_split_regex(TRIM(text), '\\s+')[i+1] || ' ' ||
+                 string_split_regex(TRIM(text), '\\s+')[i+2]
+        ))) AS s
+        FROM corpus
+    )
+    SELECT doc_id, {mins} FROM sh GROUP BY doc_id
+    """
+
+
+LSH_PAIRS_SQL = f"""
+    WITH sigs AS ({_minhash_sql(_NEARDUP_SQL_CORPUS)}),
+    bands AS (
+        SELECT doc_id,
+               md5(mh0 || '|' || mh1) AS band0, md5(mh2 || '|' || mh3) AS band1,
+               md5(mh4 || '|' || mh5) AS band2, md5(mh6 || '|' || mh7) AS band3
+        FROM sigs
+    ),
+    long AS (
+        SELECT doc_id, 'band0' AS band_idx, band0 AS band_key FROM bands
+        UNION ALL SELECT doc_id, 'band1', band1 FROM bands
+        UNION ALL SELECT doc_id, 'band2', band2 FROM bands
+        UNION ALL SELECT doc_id, 'band3', band3 FROM bands
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM long a JOIN long b
+      ON a.band_key = b.band_key AND a.band_idx = b.band_idx AND a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+"""
+
+
+@q("td_minhash_lsh_pairs_oracle", LSH_PAIRS_SQL)
+def td_minhash_lsh_pairs_oracle(spark, sf_dir):
+    # the banded candidate join, fully cross-engine-checked (md5 minhash)
+    corpus = _neardup_corpus(spark, sf_dir)
+    sh = D.word_shingles(F.col("text"), 3)
+    sigs = corpus.select("doc_id", *D.minhash_signature(sh, n_hashes=D.N_MINHASH))
+    sigs = sigs.select("doc_id", *[c for c in sigs.columns if c != "doc_id"], *D.lsh_bands())
+    return D.lsh_candidate_pairs(sigs).orderBy("id_a", "id_b")

@@ -1,0 +1,79 @@
+"""Physical-plan quality gates (SURVEY.md §4): the optimizations the
+reference hand-codes must appear in Catalyst's plan for free —
+predicate pushdown to the parquet scan, column pruning, broadcast joins
+for enrich, and no extra exchange after the pipeline's narrow shuffle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_to_scan(spark):
+    # reference: prefix pruning + LastModified window (s3_manager.py:186-212)
+    ev = spark.read.parquet(f"{SF}/events.parquet").filter(
+        F.col("ts") >= F.lit("2024-01-10").cast("timestamp")
+    )
+    plan = _plan(ev.select("event_id"))
+    assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts" in plan
+
+
+def test_column_pruning(spark):
+    # reference: 80-field whitelist drops everything else early
+    # (log_processor.py:379-389) → ReadSchema must contain ONLY used columns
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(ev.groupBy("event_type").count())
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "event_type" in read_schema
+    assert "props" not in read_schema and "value" not in read_schema
+
+
+def test_enrich_join_is_broadcast(spark):
+    from illumio_spark.plans.pipeline import parse_enrich_format
+    from illumio_spark import synth
+
+    df = spark.createDataFrame(synth.generate_pandas(5))
+    plan = _plan(parse_enrich_format(spark, df))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_single_exchange_in_pipeline(spark):
+    # the scale contract: exactly ONE shuffle (the narrow-input repartition),
+    # none after parse/format
+    from illumio_spark.plans.pipeline import ordered_for_sink, parse_enrich_format, fanout_frame
+    from illumio_spark import synth
+
+    df = spark.createDataFrame(synth.generate_pandas(5))
+    fan = fanout_frame(parse_enrich_format(spark, ordered_for_sink(df, 4)))
+    plan = _optimized(fan)
+    n_shuffles = plan.count("RepartitionByExpression")
+    assert n_shuffles == 1, f"expected exactly 1 exchange, got {n_shuffles}:\n{plan[:2000]}"
+
+
+def test_wholestage_codegen_covers_format(spark):
+    # the formatting expressions must stay inside codegen (no interpreted
+    # projection for the hot path)
+    from illumio_spark.plans.pipeline import parse_enrich_format
+    from illumio_spark import synth
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")  # AQE hides subtrees pre-exec
+    try:
+        df = spark.createDataFrame(synth.generate_pandas(5))
+        out = parse_enrich_format(spark, df)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+        txt = out._jdf.queryExecution().explainString(mode)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "WholeStageCodegen" in txt and not txt.startswith("Found 0")
+    # the routed_text concat must live inside a codegen'd subtree, not an
+    # interpreted projection
+    assert "original_message=" in txt
