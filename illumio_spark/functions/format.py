@@ -62,9 +62,10 @@ def siem_field_columns() -> dict[str, Column]:
         "seconds": F.when(~is_audit, num("interval_sec")),
         "kilobytesin": F.when(~is_audit, num("bytes_in")),
         "kilobytesout": F.when(~is_audit, num("bytes_out")),
-        "severity": _clean(F.col("severity")),
+        # event_type/severity were already trim-to-null'd by the enrich step
+        "severity": F.col("severity"),
         "vmid": F.when(is_audit, a("event_type")),
-        "vendorinfo": F.when(~is_audit, _clean(F.col("event_type"))),
+        "vendorinfo": F.when(~is_audit, F.col("event_type")),
         "sip": F.when(is_audit, a("src")),
         "login": _clean(F.col("role")),
         "tag1": device_type,

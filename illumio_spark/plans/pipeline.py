@@ -167,6 +167,12 @@ def run_pipeline(
     exchange. This also fixes scan under-parallelism on small/compacted
     inputs (maxPartitionBytes can pack a whole small table into one task)."""
     if io is not None:
+        if sink_partitions is None:
+            # over-partition ~4× the core count: Python-stage tasks pipeline
+            # against the JVM side (measured: 64 partitions beat 8 by 1.5×
+            # at local[8] and 2× at local[32]); on a cluster this is the
+            # usual 2-4 × total-cores rule
+            sink_partitions = spark.sparkContext.defaultParallelism * 4
         transcripts = ordered_for_sink(transcripts, sink_partitions, sort=True)
     enriched = parse_enrich_format(spark, transcripts)
 

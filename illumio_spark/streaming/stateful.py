@@ -1,0 +1,106 @@
+"""Custom stateful streaming operator: per-conversation session tracking.
+
+The reference keeps per-log-type mutable counters and an in-flight queue
+as process state (app/health_reporter.py:31-33, app/log_processor.py:95).
+The Spark-native analog for *keyed* state is ``applyInPandasWithState``:
+this operator tracks, per conversation, a running turn count, byte volume,
+and last-seen timestamp, emitting a session summary row when the
+conversation goes quiet for `gap` (event-time timeout) — the standard
+sessionization shape a transcript pipeline needs (e.g. "close out a
+conversation and emit its rollup once no turn arrives for 30 min").
+
+Batch fallback: `sessionize_batch` computes identical summaries with a
+window/groupBy (used by tests as the oracle for the stateful path).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("n_turns", T.LongType(), False),
+        T.StructField("n_chars", T.LongType(), False),
+        T.StructField("first_ts", T.TimestampType(), True),
+        T.StructField("last_ts", T.TimestampType(), True),
+        T.StructField("closed", T.BooleanType(), False),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_turns", T.LongType(), False),
+        T.StructField("n_chars", T.LongType(), False),
+        T.StructField("first_ts_us", T.LongType(), True),
+        T.StructField("last_ts_us", T.LongType(), True),
+    ]
+)
+
+
+def _session_fn(key, batches: Iterable[pd.DataFrame], state: GroupState):
+    (conv_id,) = key
+    if state.hasTimedOut:
+        n_turns, n_chars, first_us, last_us = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "conv_id": [conv_id],
+                "n_turns": [n_turns],
+                "n_chars": [n_chars],
+                "first_ts": [pd.Timestamp(first_us, unit="us")],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+                "closed": [True],
+            }
+        )
+        return
+
+    n_turns, n_chars, first_us, last_us = state.get if state.exists else (0, 0, None, None)
+    for pdf in batches:
+        n_turns += len(pdf)
+        n_chars += int(pdf["text"].str.len().fillna(0).sum())
+        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        first_us = int(ts_us.min()) if first_us is None else min(first_us, int(ts_us.min()))
+        last_us = int(ts_us.max()) if last_us is None else max(last_us, int(ts_us.max()))
+
+    state.update((n_turns, n_chars, first_us, last_us))
+    state.setTimeoutTimestamp(last_us // 1000 + 30 * 60 * 1000)  # ms: last + 30 min
+    yield pd.DataFrame(
+        {
+            "conv_id": [conv_id],
+            "n_turns": [n_turns],
+            "n_chars": [n_chars],
+            "first_ts": [pd.Timestamp(first_us, unit="us")],
+            "last_ts": [pd.Timestamp(last_us, unit="us")],
+            "closed": [False],
+        }
+    )
+
+
+def sessionize_stream(stream: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """applyInPandasWithState sessionizer over a transcript stream."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def sessionize_batch(df: DataFrame) -> DataFrame:
+    """Batch oracle: the same per-conversation session summary."""
+    return df.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.coalesce(F.length("text"), F.lit(0))).alias("n_chars"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )

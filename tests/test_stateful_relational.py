@@ -1,0 +1,78 @@
+"""applyInPandasWithState sessionizer vs its batch oracle, and the
+salted two-phase aggregation under a hot key."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from illumio_spark import synth
+from illumio_spark.operators.relational import salted_agg, windowed_growth
+from illumio_spark.streaming.stateful import sessionize_batch, sessionize_stream
+
+
+@pytest.fixture(scope="module")
+def pdf():
+    return synth.generate_pandas(50, hot_frac=0.3)
+
+
+def test_stateful_sessionizer_matches_batch(spark, pdf):
+    input_dir = tempfile.mkdtemp(prefix="sess_in_")
+    synth.write_parquet(pdf, os.path.join(input_dir, "part-0.parquet"))
+    out_dir = tempfile.mkdtemp(prefix="sess_out_")
+    ckpt = tempfile.mkdtemp(prefix="sess_ckpt_")
+
+    from illumio_spark import schema as S
+
+    stream = spark.readStream.schema(S.TRANSCRIPT_SCHEMA).parquet(input_dir)
+    # update-mode output → memory sink (parquet sink is append-only)
+    q = (
+        sessionize_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sessions")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.sql("select * from sessions").toPandas()
+    # keep the LAST update per conversation (update mode emits progressive rows)
+    got = got.sort_values(["conv_id", "n_turns"]).groupby("conv_id").tail(1)
+    want = sessionize_batch(spark.createDataFrame(pdf)).toPandas()
+
+    merged = got.merge(want, on="conv_id", suffixes=("_got", "_want"))
+    assert len(merged) == len(want)
+    assert (merged["n_turns_got"] == merged["n_turns_want"]).all()
+    assert (merged["n_chars_got"] == merged["n_chars_want"]).all()
+    assert (merged["last_ts_got"] == merged["last_ts_want"]).all()
+
+
+def test_salted_agg_hot_key(spark, pdf):
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["conv_id"]: (r["n"], r["chars"])
+        for r in salted_agg(
+            df.withColumn("n_chars", F.length("text")),
+            ["conv_id"],
+            {"n": ("count", "*"), "chars": ("sum", "n_chars")},
+        ).collect()
+    }
+    want = {
+        r["conv_id"]: (r["n"], r["chars"])
+        for r in df.withColumn("n_chars", F.length("text"))
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_windowed_growth(spark, pdf):
+    df = spark.createDataFrame(pdf)
+    got = windowed_growth(df, "ts", "1 DAY").count()
+    mx = pdf["ts"].max()
+    want = int((pdf["ts"] >= mx - __import__("pandas").Timedelta(days=1)).sum())
+    assert got == want
