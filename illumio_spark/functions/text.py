@@ -33,11 +33,13 @@ def quality_columns(text: Column) -> dict[str, Column]:
     n_chars = F.length(text)
     n_words = token_count(text)
     n_punct = n_chars - F.length(F.regexp_replace(text, r"[.,!?;:]", ""))
+    # try_divide: empty text (n_chars = 0) must yield NULL, not a
+    # DIVIDE_BY_ZERO abort under Spark 4's default ANSI mode
     return {
         "n_chars": n_chars,
         "n_words": n_words,
-        "chars_per_word": F.round(n_chars.cast("double") / n_words, 4),
-        "punct_ratio": F.round(n_punct.cast("double") / n_chars, 6),
+        "chars_per_word": F.round(F.try_divide(n_chars.cast("double"), n_words), 4),
+        "punct_ratio": F.round(F.try_divide(n_punct.cast("double"), n_chars), 6),
     }
 
 

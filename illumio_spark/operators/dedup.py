@@ -24,10 +24,17 @@ N_BANDS = 4  # rows per band = N_MINHASH / N_BANDS
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles of a whitespace-tokenized text column."""
+    """Distinct k-word shingles of a whitespace-tokenized text column.
+
+    Texts with fewer than k tokens yield an empty array (matches the
+    DuckDB oracle's end-exclusive range()); the n >= k guard is required
+    because sequence(1, 0) is the DESCENDING [1, 0] and element_at(toks, 0)
+    throws under Spark 4's default ANSI mode."""
     toks = F.split(F.trim(text), r"\s+")
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
     shingle = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + j) for j in range(k)]
     )

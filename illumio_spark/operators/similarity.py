@@ -25,7 +25,9 @@ def l2_norm(vec) -> "F.Column":
 
 
 def cosine(a, b):
-    return _dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # try_divide: a zero-norm vector yields NULL similarity instead of a
+    # DIVIDE_BY_ZERO abort under Spark 4's default ANSI mode
+    return F.try_divide(_dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def brute_force_topk(

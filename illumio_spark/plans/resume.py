@@ -25,7 +25,9 @@ def committed_days(spark: SparkSession, io) -> DataFrame:
     """Distinct day keys with a committed checkpoint row (any run)."""
     try:
         ckpt = io.read(spark, "checkpoints")
-    except FileNotFoundError:
+    except Exception:
+        # first resumable run: parquet branch raises FileNotFoundError,
+        # Iceberg branch raises AnalysisException for the missing table
         return spark.createDataFrame([], "partition_key string")
     return ckpt.select("partition_key").distinct()
 

@@ -37,8 +37,10 @@ def build_session(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if not str(cpus).isdigit():  # normalize: an invalid env var must not break local[N]
+        cpus = "32"
     master = master or f"local[{cpus}]"
-    shuffle_partitions = shuffle_partitions or int(cpus) if str(cpus).isdigit() else 32
+    shuffle_partitions = shuffle_partitions or int(cpus)
 
     b = (
         SparkSession.builder.appName(app_name)

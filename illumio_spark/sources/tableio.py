@@ -61,13 +61,29 @@ class TableIO:
         partition_by: list[str] | None = None,
     ) -> str:
         if self.use_iceberg:
-            full = f"local.db.{table}"
-            w = df.writeTo(full)
-            if partition_by:
-                from pyspark.sql.functions import col
+            from pyspark.sql.functions import col, lit
 
-                w = w.partitionedBy(*[col(c) for c in partition_by])
-            w.createOrReplace() if mode == "overwrite" else w.append()
+            # per-run rows under a __run_id partition: 'overwrite' replaces
+            # only THIS run's partition (createOrReplace would drop every
+            # prior run's watermarks and break resume.committed_days)
+            full = f"local.db.{table}"
+            dfw = df.withColumn("__run_id", lit(run_id))
+            spark = df.sparkSession
+            try:
+                spark.read.table(full)
+                exists = True
+            except Exception:
+                exists = False
+            if not exists:
+                w = dfw.writeTo(full).partitionedBy(
+                    col("__run_id"), *[col(c) for c in (partition_by or [])]
+                )
+                w.create()
+            elif mode == "overwrite":
+                dfw.writeTo(full).overwrite(col("__run_id") == lit(run_id))
+            else:
+                dfw.writeTo(full).append()
+            self._commit_manifest(table, run_id, full, df.schema.simpleString())
             return full
         path = os.path.join(self.root, table, f"run_id={run_id}")
         writer = df.write.mode(mode)
@@ -79,7 +95,12 @@ class TableIO:
 
     def read(self, spark: SparkSession, table: str, run_id: str | None = None) -> DataFrame:
         if self.use_iceberg:
-            return spark.read.table(f"local.db.{table}")
+            from pyspark.sql.functions import col
+
+            df = spark.read.table(f"local.db.{table}")
+            if run_id is not None:
+                df = df.filter(col("__run_id") == run_id)
+            return df.drop("__run_id")
         if run_id is not None:
             return spark.read.parquet(os.path.join(self.root, table, f"run_id={run_id}"))
         runs = self._load_manifest(table)["runs"]
@@ -95,6 +116,69 @@ class TableIO:
 
     def committed_runs(self, table: str) -> list[str]:
         return [r["run_id"] for r in self._load_manifest(table)["runs"]]
+
+    # -- retention / TTL maintenance (T11, reference app/main.py:395-441) ----
+    def expire_runs(self, spark: SparkSession, table: str, drop_run_ids: list[str]) -> int:
+        """Run-level retention: delete expired run partitions/dirs and their
+        manifest rows (the reference's 'delete logs older than 30 days' +
+        VACUUM, app/main.py:395-441; Iceberg analog of expireSnapshots)."""
+        import shutil
+
+        dropped = 0
+        if self.use_iceberg:
+            ids = ", ".join(f"'{r}'" for r in drop_run_ids)
+            spark.sql(f"DELETE FROM local.db.{table} WHERE __run_id IN ({ids})")
+            try:  # physically expire the superseded snapshots
+                spark.sql(
+                    f"CALL local.system.expire_snapshots(table => 'db.{table}', "
+                    "older_than => now())"
+                )
+            except Exception:
+                pass  # procedure catalog unavailable: logical delete stands
+        m = self._load_manifest(table)
+        keep = []
+        for r in m["runs"]:
+            if r["run_id"] in drop_run_ids:
+                dropped += 1
+                if not self.use_iceberg:
+                    shutil.rmtree(r["path"], ignore_errors=True)
+            else:
+                keep.append(r)
+        m["runs"] = keep
+        tmp = self._manifest_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=2)
+        os.replace(tmp, self._manifest_path(table))
+        return dropped
+
+    def expire_before(self, spark: SparkSession, table: str, committed_before: float) -> int:
+        """Expire every run committed before the cutoff (unix seconds)."""
+        drop = [
+            r["run_id"]
+            for r in self._load_manifest(table)["runs"]
+            if r.get("committed_at", 0) < committed_before
+        ]
+        return self.expire_runs(spark, table, drop) if drop else 0
+
+    def delete_where(self, spark: SparkSession, table: str, condition: str) -> None:
+        """Row-level TTL: delete rows matching a SQL condition (e.g.
+        "ts < timestamp'2026-01-01'"). Iceberg: a metadata DELETE; parquet
+        fallback: rewrite each run dir filtered, atomic via tmp-dir swap."""
+        from pyspark.sql.functions import expr
+
+        if self.use_iceberg:
+            spark.sql(f"DELETE FROM local.db.{table} WHERE {condition}")
+            return
+        import shutil
+
+        for r in self._load_manifest(table)["runs"]:
+            kept = spark.read.parquet(r["path"]).filter(~expr(condition))
+            tmp = r["path"] + ".ttl_tmp"
+            kept.write.mode("overwrite").parquet(tmp)
+            old = r["path"] + ".ttl_old"
+            os.rename(r["path"], old)
+            os.rename(tmp, r["path"])
+            shutil.rmtree(old, ignore_errors=True)
 
     # -- logical sinks over the one-pass partitioned fan-out table -----------
     SINK_COLUMNS = {

@@ -42,7 +42,7 @@ STATE_SCHEMA = T.StructType(
 )
 
 
-def _session_fn(key, batches: Iterable[pd.DataFrame], state: GroupState):
+def _session_fn(key, batches: Iterable[pd.DataFrame], state: GroupState, gap_ms: int = 30 * 60 * 1000):
     (conv_id,) = key
     if state.hasTimedOut:
         n_turns, n_chars, first_us, last_us = state.get
@@ -68,7 +68,7 @@ def _session_fn(key, batches: Iterable[pd.DataFrame], state: GroupState):
         last_us = int(ts_us.max()) if last_us is None else max(last_us, int(ts_us.max()))
 
     state.update((n_turns, n_chars, first_us, last_us))
-    state.setTimeoutTimestamp(last_us // 1000 + 30 * 60 * 1000)  # ms: last + 30 min
+    state.setTimeoutTimestamp(last_us // 1000 + gap_ms)  # ms: last + gap
     yield pd.DataFrame(
         {
             "conv_id": [conv_id],
@@ -81,13 +81,27 @@ def _session_fn(key, batches: Iterable[pd.DataFrame], state: GroupState):
     )
 
 
-def sessionize_stream(stream: DataFrame, watermark: str = "30 minutes") -> DataFrame:
-    """applyInPandasWithState sessionizer over a transcript stream."""
+def _parse_duration_ms(d: str) -> int:
+    n, unit = d.split()
+    return int(n) * {"second": 1000, "minute": 60_000, "hour": 3_600_000}[unit.rstrip("s")]
+
+
+def sessionize_stream(
+    stream: DataFrame, watermark: str = "30 minutes", gap: str | None = None
+) -> DataFrame:
+    """applyInPandasWithState sessionizer over a transcript stream.
+
+    `gap` is the quiet period that closes a session (event-time timeout);
+    it defaults to the watermark duration so late-data tolerance and
+    session-close behavior stay consistent."""
+    import functools
+
+    gap_ms = _parse_duration_ms(gap if gap is not None else watermark)
     return (
         stream.withWatermark("ts", watermark)
         .groupBy("conv_id")
         .applyInPandasWithState(
-            _session_fn,
+            functools.partial(_session_fn, gap_ms=gap_ms),
             outputStructType=SESSION_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
