@@ -47,11 +47,14 @@ def siem_field_columns() -> dict[str, Column]:
         "objectname": _clean(F.col("conv_id")),
         "objecttype": F.when(~is_audit, s("act")),
         "result": F.when(is_audit, a("status")),
-        "url": F.when(is_audit, a("api_endpoint")),
         "version": F.col("turn_idx").cast("string"),
+        # command/sip/tag2/tag3 source from the NESTED notifications[0].info
+        # struct (P4, app/log_processor.py:410-419); a_* are null when the
+        # notifications array is empty/missing — the reference's truthiness
+        # guard — so the fields drop out of the routed row exactly like there
         "command": F.when(is_audit, a("api_method")),
         "reason": F.when(~is_audit, s("msg")),
-        "action": F.when(is_audit, a("api_method")),
+        "action": F.when(is_audit, a("action")),
         "status": F.when(~is_audit, s("state")),
         "sessiontype": F.when(
             ~is_audit,
@@ -66,11 +69,14 @@ def siem_field_columns() -> dict[str, Column]:
         "severity": F.col("severity"),
         "vmid": F.when(is_audit, a("event_type")),
         "vendorinfo": F.when(~is_audit, F.col("event_type")),
-        "sip": F.when(is_audit, a("src")),
+        "sip": F.when(is_audit, a("src_ip")),
         "login": _clean(F.col("role")),
         "tag1": device_type,
         "tag2": F.when(is_audit, a("api_endpoint")),
         "tag3": F.when(is_audit, a("api_method")),
+        # a_labels_str is the pre-folded map (computed next to from_json —
+        # HOFs there keep this projection inside WholeStageCodegen)
+        "tag4": F.when(is_audit, F.col("a_labels_str")),
     }
 
 

@@ -1,10 +1,20 @@
 """Vectorized parse + classification of transcript turns.
 
 The grok core (reference app/log_processor.py:344-356 NDJSON parse and
-:399-461 per-class extraction) as ONE Arrow-batched ``mapInPandas`` pass:
-a single vectorized ``pd.Series.str.extract`` for the summary class, a
-json.loads over only the audit-candidate minority for the auditable class,
-and numpy masks for routing — never per-row Python over the hot path.
+:399-461 per-class extraction) in two stages:
+
+1. ONE Arrow-batched ``mapInPandas`` pass: a single vectorized
+   ``pd.Series.str.extract`` for the summary class, strict ``json.loads``
+   validation over only the audit-candidate minority (classification must
+   match the oracle's json.loads semantics exactly — ``from_json`` is
+   permissive and would accept partially-truncated JSON), numpy masks for
+   routing. Never per-row Python over the hot path.
+2. JVM-side ``from_json`` with the full nested schema
+   (``array<struct<notification_type, info:struct<...>>>`` +
+   ``map<string,string>`` labels) and nested path extraction
+   ``audit.notifications[0].info.src_ip`` — the reference's nested
+   auditable_event shape (app/log_processor.py:410-419) as Catalyst
+   expressions inside whole-stage codegen, no Python.
 
 mapInPandas (not a scalar struct UDF) is deliberate: a struct-returning
 pandas UDF gets re-evaluated once per field reference after Catalyst's
@@ -25,16 +35,14 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, types as T
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from illumio_spark import schema as S
 
 SUMMARY_COLS = [f"s_{f}" for f in S.SUMMARY_TEXT_FIELDS]
-AUDIT_COLS = [f"a_{f}" for f in S.AUDIT_JSON_FIELDS]
 
 PARSED_FIELDS = [
     *[T.StructField(c, T.StringType(), True) for c in SUMMARY_COLS],
-    *[T.StructField(c, T.StringType(), True) for c in AUDIT_COLS],
     T.StructField("event_class", T.StringType(), True),
     T.StructField("error_reason", T.StringType(), True),
 ]
@@ -44,13 +52,19 @@ def parsed_schema(input_schema: T.StructType) -> T.StructType:
     return T.StructType(list(input_schema.fields) + PARSED_FIELDS)
 
 
-def _coerce(v):
-    """safe_get-compatible scalar coercion for audit JSON values."""
-    if v is None:
-        return None
-    if isinstance(v, str):
-        return v
-    return json.dumps(v) if isinstance(v, (dict, list)) else str(v)
+def _is_valid_audit(s: str) -> bool:
+    """Strict oracle-equivalent audit check: JSON object with a non-blank
+    event_type (json.loads semantics, NOT Jackson-permissive)."""
+    try:
+        obj = json.loads(s)
+    except (json.JSONDecodeError, ValueError):
+        return False
+    if not isinstance(obj, dict):
+        return False
+    et = obj.get("event_type")
+    if et is None or (isinstance(et, str) and not et.strip()):
+        return False
+    return True
 
 
 def parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -64,29 +78,15 @@ def parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     sm.columns = SUMMARY_COLS
     is_summary = sm["s_act"].notna().to_numpy()
 
-    # auditable class: json.loads over candidates only (~9% of rows)
+    # auditable class: strict json.loads VALIDATION over candidates only
+    # (~9% of rows); field extraction happens JVM-side via from_json
     is_cand = (~blank) & (~is_summary) & stripped.str.startswith("{")
-    audit = pd.DataFrame(index=pdf.index, columns=AUDIT_COLS, dtype=object)
     is_audit = np.zeros(len(pdf), dtype=bool)
     cand_idx = np.flatnonzero(is_cand.to_numpy())
     if len(cand_idx):
         texts = text.to_numpy()
-        pos = {c: i for i, c in enumerate(AUDIT_COLS)}
-        vals = np.full((len(pdf), len(AUDIT_COLS)), None, dtype=object)
         for i in cand_idx:
-            try:
-                obj = json.loads(texts[i])
-            except (json.JSONDecodeError, ValueError):
-                continue
-            if not isinstance(obj, dict):
-                continue
-            et = obj.get("event_type")
-            if et is None or (isinstance(et, str) and not et.strip()):
-                continue
-            is_audit[i] = True
-            for f in S.AUDIT_JSON_FIELDS:
-                vals[i, pos[f"a_{f}"]] = _coerce(obj.get(f))
-        audit = pd.DataFrame(vals, index=pdf.index, columns=AUDIT_COLS)
+            is_audit[i] = _is_valid_audit(texts[i])
 
     event_class = np.where(
         blank, None, np.where(is_summary, S.CLASS_SUMMARY, np.where(is_audit, S.CLASS_AUDITABLE, None))
@@ -98,19 +98,71 @@ def parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     out = pdf.copy()
     for c in SUMMARY_COLS:
         out[c] = sm[c]  # NaN (→ null) wherever the regex didn't match
-    for c in AUDIT_COLS:
-        out[c] = audit[c]
     out["event_class"] = event_class
     out["error_reason"] = error_reason
     return out
 
 
+def audit_field_columns() -> dict[str, "F.Column"]:
+    """Flat a_* extraction expressions over the `audit` struct column.
+
+    Nested path extraction is pure Catalyst: notifications[0].info.* via
+    F.get (null-safe on empty/missing arrays under ANSI mode), matching the
+    reference's `if log_entry.get('notifications')` guard — an empty array
+    yields nulls exactly like a missing key."""
+    audit = F.col("audit")
+    n0 = F.get(audit["notifications"], F.lit(0))
+    info = n0["info"]
+
+    # labels fold lives HERE, next to from_json, because higher-order
+    # functions don't codegen: folding at format time would eject the whole
+    # routed_text projection from WholeStageCodegen (test_plans asserts it
+    # stays in). 'Source: k=v, k=v' skipping empty values, document order
+    # (reference app/log_processor.py:452-459).
+    label_entries = F.filter(
+        F.map_entries(audit["labels"]),
+        lambda e: e["value"].isNotNull() & (e["value"] != ""),
+    )
+    labels_folded = F.concat_ws(
+        ", ", F.transform(label_entries, lambda e: F.concat(e["key"], F.lit("="), e["value"]))
+    )
+
+    return {
+        "a_event_type": audit["event_type"],
+        "a_severity": audit["severity"],
+        "a_status": audit["status"],
+        "a_action": audit["action"],
+        "a_notification_type": n0["notification_type"],
+        "a_src_ip": info["src_ip"],
+        "a_api_endpoint": info["api_endpoint"],
+        "a_api_method": info["api_method"],
+        "a_labels": audit["labels"],
+        "a_labels_str": F.when(
+            F.length(labels_folded) > 0, F.concat(F.lit("Source: "), labels_folded)
+        ),
+    }
+
+
+def with_audit_fields(df: DataFrame) -> DataFrame:
+    """+ `audit` struct (from_json, nested schema) and flat a_* columns.
+
+    from_json runs only on auditable-classified rows (when() gates the
+    Jackson parse off the summary/dead-letter majority)."""
+    is_audit = F.col("event_class") == S.CLASS_AUDITABLE
+    df = df.withColumn(
+        "audit",
+        F.when(is_audit, F.from_json(F.col("text"), S.AUDIT_JSON_SCHEMA)),
+    )
+    return df.withColumns(audit_field_columns())
+
+
 def parse_turns(df: DataFrame) -> DataFrame:
-    """transcripts → + flat parsed columns, event_class, error_reason."""
+    """transcripts → + summary s_* columns, event_class, error_reason,
+    audit struct + flat a_* nested extractions."""
     schema = parsed_schema(df.schema)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield parse_batch(pdf)
 
-    return df.mapInPandas(run, schema=schema)
+    return with_audit_fields(df.mapInPandas(run, schema=schema))

@@ -93,16 +93,34 @@ def transform_turn(row: dict, event_class: str, parsed: dict,
             "version": str(row["turn_idx"]),
             "result": safe_get(parsed, "status"),
             "severity": severity,
-            "action": safe_get(parsed, "api_method"),
+            "action": safe_get(parsed, "action"),
             "vmid": event_type,
-            "sip": safe_get(parsed, "src"),
-            "command": safe_get(parsed, "api_method"),
-            "url": safe_get(parsed, "api_endpoint"),
-            "tag2": safe_get(parsed, "api_endpoint"),
-            "tag3": safe_get(parsed, "api_method"),
             "process": tool,
             "login": role,
         }
+        # nested array<struct> extraction (app/log_processor.py:410-419):
+        # first notification's info drives sip/command/tag2/tag3; tag1 gets
+        # notification_type here but is ALWAYS overwritten by device_type
+        # below (the reference quirk at app/log_processor.py:464)
+        if parsed.get("notifications"):
+            notification = parsed["notifications"][0]
+            info = notification.get("info") or {}
+            fields.update(
+                {
+                    "sip": safe_get(info, "src_ip"),
+                    "command": safe_get(info, "api_method"),
+                    "tag1": safe_get(notification, "notification_type"),
+                    "tag2": safe_get(info, "api_endpoint"),
+                    "tag3": safe_get(info, "api_method"),
+                }
+            )
+        # map<string,string> labels fold (app/log_processor.py:452-459):
+        # 'k=v, k=v' skipping empty values, emitted only when non-empty
+        labels = parsed.get("labels") or {}
+        if isinstance(labels, dict):
+            label_info = ", ".join(f"{k}={v}" for k, v in labels.items() if v)
+            if label_info:
+                fields["tag4"] = f"Source: {label_info}"
     else:
         event_type = lookup_event.get((role, tool))
         severity = lookup_sev.get(event_type)

@@ -114,6 +114,111 @@ def p3_audit_projection(spark, sf_dir):
 
 
 @q(
+    "p4_nested_extraction",
+    """
+    WITH j AS (
+        SELECT event_id,
+               CASE WHEN event_id % 7 = 0 THEN '{"notifications":[]}'
+                    ELSE '{"notifications":[{"notification_type":"' || event_type ||
+                         '","info":{"src_ip":"10.0.' || CAST(event_id % 256 AS VARCHAR) ||
+                         '.1","api_endpoint":"/v1/ep' || CAST(event_id % 5 AS VARCHAR) ||
+                         '","api_method":"GET"}}]}'
+               END AS payload
+        FROM events WHERE event_id < 2000
+    )
+    SELECT event_id,
+           json_extract_string(payload, '$.notifications[0].notification_type') AS ntype,
+           json_extract_string(payload, '$.notifications[0].info.src_ip') AS sip,
+           json_extract_string(payload, '$.notifications[0].info.api_endpoint') AS endpoint,
+           json_extract_string(payload, '$.notifications[0].info.api_method') AS method
+    FROM j
+    """,
+)
+def p4_nested_extraction(spark, sf_dir):
+    # reference: notifications[0].info.{src_ip,api_endpoint,api_method} →
+    # sip/tag2/tag3 (app/log_processor.py:410-419). from_json with
+    # ArrayType(StructType) + nested path extraction, all JVM-side; the
+    # event_id % 7 branch exercises the empty-array → null path.
+    from pyspark.sql import types as T
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    payload = F.when(
+        F.col("event_id") % 7 == 0, F.lit('{"notifications":[]}')
+    ).otherwise(
+        F.concat(
+            F.lit('{"notifications":[{"notification_type":"'),
+            F.col("event_type"),
+            F.lit('","info":{"src_ip":"10.0.'),
+            (F.col("event_id") % 256).cast("string"),
+            F.lit('.1","api_endpoint":"/v1/ep'),
+            (F.col("event_id") % 5).cast("string"),
+            F.lit('","api_method":"GET"}}]}'),
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField(
+                "notifications",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("notification_type", T.StringType()),
+                            T.StructField(
+                                "info",
+                                T.StructType(
+                                    [
+                                        T.StructField("src_ip", T.StringType()),
+                                        T.StructField("api_endpoint", T.StringType()),
+                                        T.StructField("api_method", T.StringType()),
+                                    ]
+                                ),
+                            ),
+                        ]
+                    )
+                ),
+            )
+        ]
+    )
+    n0 = F.get(F.from_json(payload, schema)["notifications"], F.lit(0))
+    return ev.select(
+        "event_id",
+        n0["notification_type"].alias("ntype"),
+        n0["info"]["src_ip"].alias("sip"),
+        n0["info"]["api_endpoint"].alias("endpoint"),
+        n0["info"]["api_method"].alias("method"),
+    )
+
+
+@q(
+    "p7b_real_map_fold",
+    """
+    SELECT event_id,
+           'Source: type=' || event_type || ', uid=' || CAST(user_id AS VARCHAR) ||
+           ', day=' || strftime(ts, '%Y-%m-%d') AS label_str
+    FROM events WHERE event_id < 2000
+    """,
+)
+def p7b_real_map_fold(spark, sf_dir):
+    # reference: src_labels map<string,string> → 'Source: k=v, k=v' fold
+    # skipping empty values (app/log_processor.py:452-459). The Spark side
+    # flows a REAL MapType column (from_json → map<string,string> →
+    # map_entries fold); the empty 'note' entry exercises the if-v skip.
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    j = F.concat(
+        F.lit('{"type":"'), F.col("event_type"),
+        F.lit('","uid":"'), F.col("user_id").cast("string"),
+        F.lit('","note":"","day":"'), F.date_format("ts", "yyyy-MM-dd"),
+        F.lit('"}'),
+    )
+    m = F.from_json(j, "map<string,string>")
+    entries = F.filter(F.map_entries(m), lambda e: e["value"] != "")
+    folded = F.concat_ws(
+        ", ", F.transform(entries, lambda e: F.concat(e["key"], F.lit("="), e["value"]))
+    )
+    return ev.select("event_id", F.concat(F.lit("Source: "), folded).alias("label_str"))
+
+
+@q(
     "set_intersect_users",
     """
     SELECT user_id FROM events WHERE event_type = 'click'

@@ -87,18 +87,34 @@ SUMMARY_TEXT_REGEX = (
     r" bytes_out=(?P<bytes_out>\d+) state=(?P<state>\S+) msg=(?P<msg>.*)$"
 )
 
-# Audit-class text payload: JSON object (FIXTURES.md §A)
+# Audit-class text payload: JSON object with the reference's NESTED shape
+# (app/log_processor.py:410-419): notifications is array<struct> whose first
+# element carries the SIEM sip/command/tag2/tag3 sources, and labels is a
+# genuine map<string,string> (the reference's src_labels,
+# app/log_processor.py:452-455) folded into tag4.
+AUDIT_INFO_SCHEMA = T.StructType(
+    [
+        T.StructField("src_ip", T.StringType(), True),
+        T.StructField("api_endpoint", T.StringType(), True),
+        T.StructField("api_method", T.StringType(), True),
+    ]
+)
+AUDIT_NOTIFICATION_SCHEMA = T.StructType(
+    [
+        T.StructField("notification_type", T.StringType(), True),
+        T.StructField("info", AUDIT_INFO_SCHEMA, True),
+    ]
+)
 AUDIT_JSON_SCHEMA = T.StructType(
     [
         T.StructField("event_type", T.StringType(), True),
         T.StructField("severity", T.StringType(), True),
         T.StructField("status", T.StringType(), True),
-        T.StructField("src", T.StringType(), True),
-        T.StructField("api_method", T.StringType(), True),
-        T.StructField("api_endpoint", T.StringType(), True),
+        T.StructField("action", T.StringType(), True),
+        T.StructField("notifications", T.ArrayType(AUDIT_NOTIFICATION_SCHEMA), True),
+        T.StructField("labels", T.MapType(T.StringType(), T.StringType()), True),
     ]
 )
-AUDIT_JSON_FIELDS = [f.name for f in AUDIT_JSON_SCHEMA.fields]
 
 # ---------------------------------------------------------------------------
 # Enrichment lookup data (broadcast side; FIXTURES.md §B)

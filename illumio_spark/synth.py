@@ -12,6 +12,8 @@ malformed fraction for the dead-letter path (app/log_processor.py:353-354).
 
 from __future__ import annotations
 
+import json
+
 import numpy as np
 import pandas as pd
 
@@ -32,8 +34,12 @@ AUDIT_EVENT_TYPES = [
 ]
 AUDIT_SEVERITIES = ["info", "warning", "error", "critical"]
 AUDIT_STATUSES = ["success", "failure"]
+AUDIT_ACTIONS = ["login", "create", "update", "delete"]
 API_METHODS = ["GET", "POST", "PUT", "DELETE"]
 API_ENDPOINTS = ["/v1/login", "/v1/query", "/v1/files", "/v1/exec", "/v1/admin"]
+NOTIFICATION_TYPES = ["api_request", "policy_check", "auth_attempt"]
+LABEL_KEYS = ["env", "team", "zone"]
+LABEL_VALS = ["prod", "staging", "core", "ml", "edge", ""]  # "" exercises the if-v skip
 MSG_WORDS = [
     "retry", "latency", "cache", "token", "shard", "merge", "flaky", "stable",
     "upstream", "fallback", "vector", "batch", "stream", "window", "agg",
@@ -45,6 +51,7 @@ MALFORMED = [
     '{"event_type":"user.login","severity":"warn',  # truncated JSON
     "garbage text with no recognizable structure at all",
     "act=incomplete sn=only-two-fields",
+    '{"severity":"high","status":"failure"}',  # valid JSON, no event_type
 ]
 
 # empirical mean of the clipped-zipf turn count below (used to size the hot
@@ -86,16 +93,37 @@ def _gen_conversation(conv_idx: int, n_turns: int | None = None) -> pd.DataFrame
         if is_malformed[i]:
             texts[i] = MALFORMED[int(rng.integers(0, len(MALFORMED)))]
         elif is_audit[i]:
-            et = AUDIT_EVENT_TYPES[int(rng.integers(0, len(AUDIT_EVENT_TYPES)))]
-            sev = AUDIT_SEVERITIES[int(rng.integers(0, len(AUDIT_SEVERITIES)))]
-            st = AUDIT_STATUSES[int(rng.integers(0, len(AUDIT_STATUSES)))]
-            src = f"10.{rng.integers(0,256)}.{rng.integers(0,256)}.{rng.integers(1,255)}"
-            m = API_METHODS[int(rng.integers(0, len(API_METHODS)))]
-            ep = API_ENDPOINTS[int(rng.integers(0, len(API_ENDPOINTS)))]
-            texts[i] = (
-                f'{{"event_type":"{et}","severity":"{sev}","status":"{st}",'
-                f'"src":"{src}","api_method":"{m}","api_endpoint":"{ep}"}}'
-            )
+            # nested shape mirroring the reference auditable_event
+            # (app/log_processor.py:399-419): array<struct> notifications
+            # (sometimes empty — exercises the null nested path) + a real
+            # map<string,string> labels object (app/log_processor.py:452-455)
+            obj = {
+                "event_type": AUDIT_EVENT_TYPES[int(rng.integers(0, len(AUDIT_EVENT_TYPES)))],
+                "severity": AUDIT_SEVERITIES[int(rng.integers(0, len(AUDIT_SEVERITIES)))],
+                "status": AUDIT_STATUSES[int(rng.integers(0, len(AUDIT_STATUSES)))],
+                "action": AUDIT_ACTIONS[int(rng.integers(0, len(AUDIT_ACTIONS)))],
+            }
+            if rng.random() >= 0.15:
+                src = f"10.{rng.integers(0,256)}.{rng.integers(0,256)}.{rng.integers(1,255)}"
+                obj["notifications"] = [
+                    {
+                        "notification_type": NOTIFICATION_TYPES[
+                            int(rng.integers(0, len(NOTIFICATION_TYPES)))
+                        ],
+                        "info": {
+                            "src_ip": src,
+                            "api_endpoint": API_ENDPOINTS[int(rng.integers(0, len(API_ENDPOINTS)))],
+                            "api_method": API_METHODS[int(rng.integers(0, len(API_METHODS)))],
+                        },
+                    }
+                ]
+            n_labels = int(rng.integers(0, len(LABEL_KEYS) + 1))
+            if n_labels:
+                obj["labels"] = {
+                    k: LABEL_VALS[int(rng.integers(0, len(LABEL_VALS)))]
+                    for k in LABEL_KEYS[:n_labels]
+                }
+            texts[i] = json.dumps(obj, separators=(",", ":"))
         else:
             act = ACTS[int(rng.integers(0, len(ACTS)))]
             state = STATES[int(rng.integers(0, len(STATES)))]

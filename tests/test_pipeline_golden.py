@@ -91,3 +91,45 @@ def test_truncation_exercised(oracle_out):
     assert routed["routed_text"].str.endswith("...").sum() > 0, (
         "fixture must exercise the MAX_MESSAGE_LENGTH truncation path"
     )
+
+
+def test_nested_extraction_exercised(oracle_out):
+    """P4: sip/tag2/tag3 must really come from notifications[0].info, and
+    both the with-notifications and empty-notifications paths must occur."""
+    audit = oracle_out["routed_events"].query("event_class == 'auditable'")["routed_text"]
+    with_sip = audit.str.contains(r"\|sip=10\.", regex=True)
+    assert with_sip.sum() > 0, "nested sip path never taken"
+    assert (~with_sip).sum() > 0, "empty-notifications path never taken"
+    # tag2/tag3 ride the same nested guard as sip
+    assert (audit.str.contains(r"\|tag2=/v1/", regex=True) == with_sip).all()
+    assert (audit.str.contains(r"\|tag3=(?:GET|POST|PUT|DELETE)", regex=True) == with_sip).all()
+    # tag1 is ALWAYS device_type, never the notification_type (the overwrite quirk)
+    assert audit.str.contains(r"\|tag1=TranscriptAudit\|", regex=True).all()
+
+
+def test_labels_map_fold_exercised(oracle_out):
+    """P7: map<string,string> labels fold into tag4, empty values skipped."""
+    audit = oracle_out["routed_events"].query("event_class == 'auditable'")["routed_text"]
+    tag4 = audit.str.extract(r"\|tag4=Source: ([^|]*)")[0].dropna()
+    assert len(tag4) > 0, "labels fold never emitted"
+    assert len(tag4) < len(audit), "no-labels / all-empty-labels path never taken"
+    # every folded entry is k=v with a non-empty value
+    for entry in tag4.str.split(", ").explode():
+        k, _, v = entry.partition("=")
+        assert k in ("env", "team", "zone") and v != ""
+
+
+def test_maptype_roundtrip_parquet(spark, transcripts_pdf, tmp_path):
+    """The real MapType column survives a parquet sink round-trip."""
+    from illumio_spark.plans.pipeline import parse_enrich_format
+
+    df = spark.createDataFrame(transcripts_pdf)
+    enriched = parse_enrich_format(spark, df)
+    labeled = enriched.filter("a_labels IS NOT NULL").select("conv_id", "turn_idx", "a_labels")
+    path = str(tmp_path / "labels.parquet")
+    labeled.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    assert dict(back.dtypes)["a_labels"] == "map<string,string>"
+    got = {(r.conv_id, r.turn_idx): r.a_labels for r in back.collect()}
+    want = {(r.conv_id, r.turn_idx): r.a_labels for r in labeled.collect()}
+    assert got == want and len(got) > 0

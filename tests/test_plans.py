@@ -66,6 +66,7 @@ def test_wholestage_codegen_covers_format(spark):
     from illumio_spark import synth
 
     spark.conf.set("spark.sql.adaptive.enabled", "false")  # AQE hides subtrees pre-exec
+    spark.conf.set("spark.sql.debug.maxToStringFields", "4096")  # don't truncate the concat
     try:
         df = spark.createDataFrame(synth.generate_pandas(5))
         out = parse_enrich_format(spark, df)
