@@ -53,42 +53,68 @@ def stopword_count(text: Column, stopwords: list[str] | None = None) -> Column:
 
 
 # ---------------------------------------------------------------------------
-# pandas-UDF operators (Arrow-batched, numpy-vectorized)
+# SimHash — pure JVM column expressions, cross-engine checkable
 # ---------------------------------------------------------------------------
+#
+# Token hash = first 16 hex chars of md5(token) (identical in Spark and
+# DuckDB); signature bit b = majority vote of bit b over the document's
+# distinct tokens. The signature is produced as FOUR 16-bit blocks so the
+# near-dup search can equi-join on (block_idx, block_value): by pigeonhole,
+# any pair at hamming distance ≤ 3 agrees on at least one of the 4 blocks —
+# same output as the O(n²) all-pairs join, but the shuffle moves only
+# compact band keys (the 100 TB path, mirroring the minhash-LSH banding in
+# operators/dedup.py).
 
-_SIMHASH_BITS = 64
-_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
-_FNV_PRIME = np.uint64(0x100000001B3)
+SIMHASH_BLOCKS = 4
+_HEX = "0123456789abcdef"
 
 
-def _token_hashes(tokens: list[str]) -> np.ndarray:
-    """FNV-1a 64-bit per token (pure numpy, deterministic)."""
-    out = np.empty(len(tokens), dtype=np.uint64)
-    with np.errstate(over="ignore"):  # uint64 wrap is the FNV contract
-        for i, t in enumerate(tokens):
-            h = _FNV_OFFSET
-            for b in t.encode("utf-8"):
-                h = (h ^ np.uint64(b)) * _FNV_PRIME
-            out[i] = h
+def _simhash_vote_bits(text: Column) -> tuple[Column, Column]:
+    """(bits, n): bits = 64-int array of majority bits (char-major,
+    MSB-first per nibble) over distinct-token md5 prefixes; n = token count."""
+    toks = F.filter(
+        F.array_distinct(F.split(F.trim(F.coalesce(text, F.lit(""))), r"\s+")),
+        lambda t: t != "",
+    )
+    hashes = F.transform(toks, lambda t: F.substring(F.md5(t), 1, 16))
+    n = F.size(hashes)
+
+    def tok_bits(h: Column) -> Column:
+        nib_arrays = []
+        for p in range(1, 17):
+            nib = F.conv(h.substr(F.lit(p), F.lit(1)), 16, 10).cast("int")
+            nib_arrays.append(
+                F.array(*[F.shiftright(nib, j).bitwiseAND(F.lit(1)) for j in (3, 2, 1, 0)])
+            )
+        return F.flatten(F.array(*nib_arrays))
+
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(acc, tok_bits(h), lambda a, b: a + b),
+    )
+    # majority: bit set iff votes > n/2 (2v > n avoids fractional compare);
+    # empty docs give n = 0 → all bits 0, no special case needed
+    bits = F.transform(votes, lambda v: F.when(v * 2 > n, F.lit(1)).otherwise(F.lit(0)))
+    return bits, n
+
+
+def simhash_blocks(text: Column, n_blocks: int = SIMHASH_BLOCKS) -> list[Column]:
+    """SimHash as n_blocks 16-bit integer blocks (big-endian bit order)."""
+    bits, _ = _simhash_vote_bits(text)
+    out = []
+    for k in range(n_blocks):
+        block_bits = F.slice(bits, k * 16 + 1, 16)
+        out.append(F.aggregate(block_bits, F.lit(0), lambda acc, b: acc * 2 + b))
     return out
 
 
-@pandas_udf(T.LongType())
-def simhash(text: pd.Series) -> pd.Series:
-    """64-bit SimHash per document: sign-sum of token hash bits."""
-    bit_cols = (np.uint64(1) << np.arange(_SIMHASH_BITS, dtype=np.uint64))[None, :]
-
-    def one(t):
-        if not isinstance(t, str) or not t.strip():
-            return 0
-        hs = _token_hashes(list(dict.fromkeys(t.split())))
-        bits = (hs[:, None] & bit_cols) != 0  # (n_tok, 64) bool
-        votes = np.where(bits, 1, -1).sum(axis=0)
-        sig = np.uint64(0)
-        sig = (bit_cols[0] * (votes > 0)).sum(dtype=np.uint64)
-        return int(sig.astype(np.int64))  # two's-complement into LongType
-
-    return text.map(one)
+def simhash(text: Column) -> Column:
+    """64-bit SimHash as a single long (blocks packed big-endian)."""
+    sig = F.lit(0).cast("long")
+    for k, blk in enumerate(simhash_blocks(text)):
+        sig = sig.bitwiseOR(F.shiftleft(blk.cast("long"), 48 - 16 * k))
+    return sig
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -101,40 +127,67 @@ _LANG_MARKERS = {
     "fr": ["le", "la", "et", "est", "pas"],
     "es": ["el", "la", "que", "es", "los"],
 }
+_LANG_ORDER = list(_LANG_MARKERS)  # tie-break priority: first wins
+_CJK_RANGE = "[一-鿿]"
 
 
-@pandas_udf(T.StringType())
-def lang_guess(text: pd.Series) -> pd.Series:
-    """Marker-word language ID (vectorized str.count per marker).
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-word counts — pure JVM regexp_count passes."""
+    low = F.lower(F.coalesce(text, F.lit("")))
+    return {
+        lang: sum(F.regexp_count(low, F.lit(rf"\b{w}\b")) for w in words)
+        for lang, words in _LANG_MARKERS.items()
+    }
 
-    CJK-codepoint presence short-circuits to 'zh'."""
-    low = text.fillna("").str.lower()
-    scores = pd.DataFrame(index=low.index)
-    for lang, words in _LANG_MARKERS.items():
-        s = None
-        for w in words:
-            c = low.str.count(rf"\b{w}\b")
-            s = c if s is None else s + c
-        scores[lang] = s
-    best = scores.idxmax(axis=1).where(scores.max(axis=1) > 0, "unk")
-    cjk = low.str.contains(r"[一-鿿]", regex=True)
-    return best.mask(cjk, "zh")
+
+def lang_guess(text: Column) -> Column:
+    """Marker-word language ID as a JVM column expression.
+
+    CJK-codepoint presence short-circuits to 'zh'; all-zero scores → 'unk';
+    ties break by _LANG_ORDER priority (en > de > fr > es), matching the
+    DuckDB oracle's CASE chain."""
+    low = F.lower(F.coalesce(text, F.lit("")))
+    scores = lang_scores(text)
+    pred = F.lit(_LANG_ORDER[-1])
+    # build the CASE chain back-to-front: lang wins if >= all later langs
+    for i in range(len(_LANG_ORDER) - 2, -1, -1):
+        lang = _LANG_ORDER[i]
+        cond = None
+        for later in _LANG_ORDER[i + 1:]:
+            c = scores[lang] >= scores[later]
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, lang).otherwise(pred)
+    all_zero = sum(scores.values()) <= 0
+    return (
+        F.when(low.rlike(_CJK_RANGE), "zh")
+        .when(all_zero, "unk")
+        .otherwise(pred)
+    )
+
+
+ROLLING_BASE = 1000003
 
 
 @pandas_udf(T.LongType())
 def rolling_fingerprint(text: pd.Series) -> pd.Series:
-    """Polynomial rolling-hash document fingerprint (numpy Horner)."""
-    base = np.uint64(1000003)
+    """Polynomial rolling-hash document fingerprint (numpy Horner).
+
+    Defined over UNICODE CODEPOINTS mod 2^64 (returned as two's-complement
+    int64) so the DuckDB oracle can reproduce it exactly with
+    list_reduce(unicode(char)) HUGEINT arithmetic."""
+    base = np.uint64(ROLLING_BASE)
 
     def one(t):
         if not isinstance(t, str) or not t:
             return 0
-        arr = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-        # h = Σ byte[i]·base^(n-1-i) mod 2^64 — fully vectorized wrap arithmetic
+        # utf-32-le decode = vectorized codepoint extraction
+        arr = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        # h = Σ cp[i]·base^(n-1-i) mod 2^64 — fully vectorized wrap arithmetic
         with np.errstate(over="ignore"):
             pows = np.empty(len(arr), dtype=np.uint64)
             pows[0] = 1
-            np.cumprod(np.full(len(arr) - 1, base, dtype=np.uint64), out=pows[1:])
+            if len(arr) > 1:
+                np.cumprod(np.full(len(arr) - 1, base, dtype=np.uint64), out=pows[1:])
             h = (arr * pows[::-1]).sum(dtype=np.uint64)
         return int(h.astype(np.int64))
 

@@ -1,17 +1,15 @@
 """Extended operator coverage: remaining SURVEY.md §2 rows and set ops.
 
 a8 running-max merge, s15 head-sample scan utility, s16 file-rate monitor,
-p3 audit projection rename-map, set operations (union/intersect/except),
-and the fully-oracle-checked minhash-LSH candidate pairs.
+p3 audit projection rename-map, p4 nested array<struct> extraction,
+p7b real-MapType fold, set operations (union/intersect/except).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from illumio_spark.operators import dedup as D
 from illumio_spark.queries.catalog import load, q
-from illumio_spark.queries.catalog_td import _NEARDUP_SQL_CORPUS, _neardup_corpus
 
 
 @q(
@@ -249,49 +247,5 @@ def set_except_events(spark, sf_dir):
     )
 
 
-def _minhash_sql(corpus_sql: str, n: int = 8) -> str:
-    mins = ",\n           ".join(f"MIN(md5('s{i}-' || s)) AS mh{i}" for i in range(n))
-    return f"""
-    WITH corpus AS ({corpus_sql}),
-    sh AS (
-        SELECT doc_id, UNNEST(list_distinct(list_transform(
-            range(1, GREATEST(len(string_split_regex(TRIM(text), '\\s+')) - 1, 1)),
-            i -> string_split_regex(TRIM(text), '\\s+')[i] || ' ' ||
-                 string_split_regex(TRIM(text), '\\s+')[i+1] || ' ' ||
-                 string_split_regex(TRIM(text), '\\s+')[i+2]
-        ))) AS s
-        FROM corpus
-    )
-    SELECT doc_id, {mins} FROM sh GROUP BY doc_id
-    """
-
-
-LSH_PAIRS_SQL = f"""
-    WITH sigs AS ({_minhash_sql(_NEARDUP_SQL_CORPUS)}),
-    bands AS (
-        SELECT doc_id,
-               md5(mh0 || '|' || mh1) AS band0, md5(mh2 || '|' || mh3) AS band1,
-               md5(mh4 || '|' || mh5) AS band2, md5(mh6 || '|' || mh7) AS band3
-        FROM sigs
-    ),
-    long AS (
-        SELECT doc_id, 'band0' AS band_idx, band0 AS band_key FROM bands
-        UNION ALL SELECT doc_id, 'band1', band1 FROM bands
-        UNION ALL SELECT doc_id, 'band2', band2 FROM bands
-        UNION ALL SELECT doc_id, 'band3', band3 FROM bands
-    )
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM long a JOIN long b
-      ON a.band_key = b.band_key AND a.band_idx = b.band_idx AND a.doc_id < b.doc_id
-    ORDER BY id_a, id_b
-"""
-
-
-@q("td_minhash_lsh_pairs_oracle", LSH_PAIRS_SQL)
-def td_minhash_lsh_pairs_oracle(spark, sf_dir):
-    # the banded candidate join, fully cross-engine-checked (md5 minhash)
-    corpus = _neardup_corpus(spark, sf_dir)
-    sh = D.word_shingles(F.col("text"), 3)
-    sigs = corpus.select("doc_id", *D.minhash_signature(sh, n_hashes=D.N_MINHASH))
-    sigs = sigs.select("doc_id", *[c for c in sigs.columns if c != "doc_id"], *D.lsh_bands())
-    return D.lsh_candidate_pairs(sigs).orderBy("id_a", "id_b")
+# (td_minhash_lsh_pairs carries its full md5-minhash DuckDB oracle in
+# catalog_td.py — the former separate *_oracle variant was folded into it)

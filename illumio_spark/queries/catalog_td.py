@@ -93,7 +93,45 @@ def td_minhash_signature(spark, sf_dir):
     return d.select("doc_id", *D.minhash_signature(sh, n_hashes=4))
 
 
-@q("td_minhash_lsh_pairs", None)  # band-join plan; ground truth via pytest
+def _minhash_sql(corpus_sql: str, n: int = 8) -> str:
+    mins = ",\n           ".join(f"MIN(md5('s{i}-' || s)) AS mh{i}" for i in range(n))
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    sh AS (
+        SELECT doc_id, UNNEST(list_distinct(list_transform(
+            range(1, GREATEST(len(string_split_regex(TRIM(text), '\\s+')) - 1, 1)),
+            i -> string_split_regex(TRIM(text), '\\s+')[i] || ' ' ||
+                 string_split_regex(TRIM(text), '\\s+')[i+1] || ' ' ||
+                 string_split_regex(TRIM(text), '\\s+')[i+2]
+        ))) AS s
+        FROM corpus
+    )
+    SELECT doc_id, {mins} FROM sh GROUP BY doc_id
+    """
+
+
+LSH_PAIRS_SQL = f"""
+    WITH sigs AS ({_minhash_sql(_NEARDUP_SQL_CORPUS)}),
+    bands AS (
+        SELECT doc_id,
+               md5(mh0 || '|' || mh1) AS band0, md5(mh2 || '|' || mh3) AS band1,
+               md5(mh4 || '|' || mh5) AS band2, md5(mh6 || '|' || mh7) AS band3
+        FROM sigs
+    ),
+    long AS (
+        SELECT doc_id, 'band0' AS band_idx, band0 AS band_key FROM bands
+        UNION ALL SELECT doc_id, 'band1', band1 FROM bands
+        UNION ALL SELECT doc_id, 'band2', band2 FROM bands
+        UNION ALL SELECT doc_id, 'band3', band3 FROM bands
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM long a JOIN long b
+      ON a.band_key = b.band_key AND a.band_idx = b.band_idx AND a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+"""
+
+
+@q("td_minhash_lsh_pairs", LSH_PAIRS_SQL)  # fully cross-engine-checked (md5 minhash)
 def td_minhash_lsh_pairs(spark, sf_dir):
     corpus = _neardup_corpus(spark, sf_dir)
     sh = D.word_shingles(F.col("text"), 3)
@@ -133,19 +171,90 @@ def td_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(_neardup_corpus(spark, sf_dir), threshold=0.5)
 
 
-@q("td_simhash_neardup", None)  # engine-internal 64-bit hashing; pytest-validated
+def _simhash_neardup_sql(corpus_sql: str, max_hamming: int = 3) -> str:
+    """DuckDB oracle for the banded simhash near-dup search — the exact
+    md5-bit-vote signature and 4×16-bit block equi-join the Spark side runs."""
+    cases = []
+    for p in range(1, 17):  # hex char position (MSB-first)
+        for j in (3, 2, 1, 0):  # bit within nibble (MSB-first)
+            cases.append(
+                "CASE WHEN 2*list_sum(list_transform(hashes, h -> "
+                f"((strpos('0123456789abcdef', substr(h, {p}, 1))-1) // {2 ** j}) % 2)) > n "
+                "THEN 1 ELSE 0 END"
+            )
+    bits_list = "[" + ", ".join(cases) + "]"
+    block_defs = ", ".join(
+        " + ".join(f"bits[{k * 16 + i + 1}] * {2 ** (15 - i)}" for i in range(16)) + f" AS b{k}"
+        for k in range(4)
+    )
+    long_union = "\n      UNION ALL ".join(
+        f"SELECT doc_id, b0, b1, b2, b3, {k} AS block_idx, b{k} AS block_val FROM sigs"
+        for k in range(4)
+    )
+    hamming = " + ".join(f"bit_count(xor(a.b{k}::BIGINT, b.b{k}::BIGINT))" for k in range(4))
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    toks AS (
+        SELECT doc_id, list_filter(list_distinct(
+            string_split_regex(TRIM(COALESCE(text, '')), '\\s+')), t -> t <> '') AS toks
+        FROM corpus
+    ),
+    hs AS (
+        SELECT doc_id, list_transform(toks, t -> substr(md5(t), 1, 16)) AS hashes,
+               len(toks) AS n
+        FROM toks
+    ),
+    bits AS (SELECT doc_id, {bits_list} AS bits FROM hs),
+    sigs AS (SELECT doc_id, {block_defs} FROM bits),
+    long AS ({long_union})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST({hamming} AS INTEGER) AS hamming
+    FROM long a JOIN long b
+      ON a.block_idx = b.block_idx AND a.block_val = b.block_val AND a.doc_id < b.doc_id
+    WHERE {hamming} <= {max_hamming}
+    ORDER BY id_a, id_b
+    """
+
+
+@q("td_simhash_neardup", _simhash_neardup_sql(_NEARDUP_SQL_CORPUS))
 def td_simhash_neardup(spark, sf_dir):
-    corpus = _neardup_corpus(spark, sf_dir).withColumn("sig", TX.simhash(F.col("text")))
-    a, b = corpus.alias("a"), corpus.alias("b")
+    """Banded simhash near-dup: signature as 4×16-bit blocks, candidate
+    pairs via equi-join on (block_idx, block_value) — pigeonhole guarantees
+    every pair at hamming ≤ 3 shares a block, so the output equals the
+    all-pairs join without the O(n²) BroadcastNestedLoopJoin. The
+    repartition after the signature select is an Exchange barrier so
+    projection collapse can't re-inline the md5 vote expressions into the
+    4-way stack."""
+    import functools
+    import operator
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    sigs = corpus.select(
+        "doc_id", *[b.alias(f"b{k}") for k, b in enumerate(TX.simhash_blocks(F.col("text")))]
+    ).repartition("doc_id")
+    long = sigs.selectExpr(
+        "doc_id", "b0", "b1", "b2", "b3",
+        "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) as (block_idx, block_val)",
+    )
+    a, b = long.alias("a"), long.alias("b")
+    hamming = functools.reduce(
+        operator.add,
+        [F.bit_count(F.col(f"a.b{k}").bitwiseXOR(F.col(f"b.b{k}")).cast("long")) for k in range(4)],
+    )
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .withColumn("hamming", TX.hamming64(F.col("a.sig"), F.col("b.sig")))
-        .filter(F.col("hamming") <= 3)
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            "hamming",
+            hamming.cast("int").alias("hamming"),
         )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
         .orderBy("id_a", "id_b")
     )
 
@@ -177,8 +286,53 @@ def td_ann_cosine_topk(spark, sf_dir):
     return SIM.brute_force_topk(emb, qs, k=10)
 
 
-@q("td_ann_lsh_topk", None)  # bucketed approximate variant; recall vs pytest
+def _ann_lsh_sql(n_planes: int = 4, dim: int = 64, n_tables: int = 3, k: int = 10) -> str:
+    """DuckDB oracle for the multi-table hyperplane-LSH top-k: the SAME
+    seeded hyperplanes the Spark side uses, embedded as double literals;
+    bucket = sign pattern of dot products, candidates = (table, bucket)
+    equi-join, rank = cosine desc."""
+
+    def bucket_expr(vec: str, table: int) -> str:
+        planes = SIM.hyperplanes(dim, n_planes, SIM.LSH_SEED + table)
+        bits = []
+        for i, p in enumerate(planes):
+            lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+            bits.append(f"(CASE WHEN list_dot_product({vec}, {lit}) > 0 THEN {1 << i} ELSE 0 END)")
+        return " + ".join(bits)
+
+    eb_union = "\n      UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS tbl, {bucket_expr('v', t)} AS bucket FROM e"
+        for t in range(n_tables)
+    )
+    qb_union = "\n      UNION ALL ".join(
+        f"SELECT qid, qv, {t} AS tbl, {bucket_expr('qv', t)} AS bucket FROM qs"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+    eb AS ({eb_union}),
+    qb AS ({qb_union}),
+    cand AS (
+        SELECT qb.qid, eb.vec_id, any_value(eb.v) AS v, any_value(qb.qv) AS qv
+        FROM eb JOIN qb ON eb.tbl = qb.tbl AND eb.bucket = qb.bucket AND eb.vec_id <> qb.qid
+        GROUP BY qb.qid, eb.vec_id
+    )
+    SELECT qid, neighbor_id, rank FROM (
+        SELECT qid, vec_id AS neighbor_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY list_cosine_similarity(v, qv) DESC, vec_id
+               ) AS INTEGER) AS rank
+        FROM cand
+    ) WHERE rank <= {k}
+    ORDER BY qid, rank
+    """
+
+
+@q("td_ann_lsh_topk", _ann_lsh_sql())
 def td_ann_lsh_topk(spark, sf_dir):
+    # bucketed approximate ANN, fully cross-engine-checked: identical seeded
+    # hyperplanes on both sides (recall-vs-exact asserted separately in pytest)
     emb = load(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
@@ -256,16 +410,56 @@ def td_stopword_signal(spark, sf_dir):
     return d.select("doc_id", TX.stopword_count(F.col("text")).alias("n_stop"))
 
 
-@q("td_lang_guess", None)  # pandas-UDF marker-word language ID; pytest-validated
+def _lang_guess_sql() -> str:
+    score = lambda words: " + ".join(  # noqa: E731
+        f"len(regexp_extract_all(low, '\\b{w}\\b'))" for w in words
+    )
+    langs = {lang: score(words) for lang, words in TX._LANG_MARKERS.items()}
+    cols = ", ".join(f"({expr}) AS {lang}" for lang, expr in langs.items())
+    order = TX._LANG_ORDER
+    chain = ""
+    for i, lang in enumerate(order[:-1]):
+        conds = " AND ".join(f"{lang} >= {later}" for later in order[i + 1:])
+        chain += f"WHEN {conds} THEN '{lang}' "
+    return f"""
+    WITH low AS (SELECT doc_id, lang, LOWER(COALESCE(text, '')) AS low FROM documents),
+    sc AS (SELECT doc_id, lang, regexp_matches(low, '{TX._CJK_RANGE}') AS cjk, {cols} FROM low)
+    SELECT doc_id, lang,
+           CASE WHEN cjk THEN 'zh'
+                WHEN {" + ".join(order)} <= 0 THEN 'unk'
+                {chain}ELSE '{order[-1]}' END AS lang_pred
+    FROM sc ORDER BY doc_id
+    """
+
+
+@q("td_lang_guess", _lang_guess_sql())
 def td_lang_guess(spark, sf_dir):
+    # marker-word language ID — JVM regexp_count passes, fully oracled
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", "lang", TX.lang_guess(F.col("text")).alias("lang_pred")).orderBy(
         "doc_id"
     )
 
 
-@q("td_rolling_fingerprint", None)  # engine-internal 64-bit hash; pytest-validated
+_ROLLING_FP_SQL = f"""
+    SELECT doc_id,
+           CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                     THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fp
+    FROM (
+        SELECT doc_id, list_reduce(
+            list_prepend(0::HUGEINT, list_transform(
+                list_filter(string_split(COALESCE(text, ''), ''), c -> c <> ''),
+                c -> unicode(c)::HUGEINT)),
+            (a, b) -> (a * {TX.ROLLING_BASE} + b) % 18446744073709551616::HUGEINT) AS h
+        FROM documents WHERE doc_id < 100
+    ) ORDER BY doc_id
+"""
+
+
+@q("td_rolling_fingerprint", _ROLLING_FP_SQL)
 def td_rolling_fingerprint(spark, sf_dir):
+    # codepoint Horner hash mod 2^64, two's-complement int64 — the DuckDB
+    # oracle reproduces it with HUGEINT list_reduce arithmetic
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return d.select("doc_id", TX.rolling_fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
 

@@ -59,6 +59,72 @@ def test_single_exchange_in_pipeline(spark):
     assert n_shuffles == 1, f"expected exactly 1 exchange, got {n_shuffles}:\n{plan[:2000]}"
 
 
+def test_simhash_neardup_is_banded_not_cartesian(spark):
+    # the near-dup search must shuffle on compact block keys — never the
+    # O(n²) all-pairs BroadcastNestedLoopJoin the round-1 version had
+    from illumio_spark.queries.catalog_td import td_simhash_neardup
+
+    plan = _plan(td_simhash_neardup(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_simhash_banding_equals_all_pairs(spark):
+    # pigeonhole check: banded pairs == brute-force all-pairs at hamming ≤ 3
+    from illumio_spark.functions import text as TX
+
+    base = " ".join(f"w{j}" for j in range(40))
+    rows = [(i, f"{base} doc{i} tail{i % 3}") for i in range(10)]
+    rows += [(100 + i, t + " x") for i, (_, t) in enumerate(rows[:5])]  # near dups
+    rows += [(200 + i, f"totally different vocab{i} alien terms{i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sig = df.select("doc_id", TX.simhash(F.col("text")).alias("sig"))
+    a, b = sig.alias("a"), sig.alias("b")
+    brute = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            TX.hamming64(F.col("a.sig"), F.col("b.sig")).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+
+    blocks = df.select(
+        "doc_id", *[c.alias(f"b{k}") for k, c in enumerate(TX.simhash_blocks(F.col("text")))]
+    )
+    long = blocks.selectExpr(
+        "doc_id", "b0", "b1", "b2", "b3",
+        "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) as (block_idx, block_val)",
+    )
+    la, lb = long.alias("a"), long.alias("b")
+    ham = sum(
+        F.bit_count(F.col(f"a.b{k}").bitwiseXOR(F.col(f"b.b{k}")).cast("long")) for k in range(4)
+    )
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in la.join(
+            lb,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+        .collect()
+    }
+    assert banded == brute and len(brute) >= 5
+
+
 def test_wholestage_codegen_covers_format(spark):
     # the formatting expressions must stay inside codegen (no interpreted
     # projection for the hot path)
