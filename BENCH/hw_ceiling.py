@@ -1,0 +1,95 @@
+"""Measure this box's own 8→32-core scaling ceilings with two plan-free
+micro-workloads, to attribute the pipeline's N→4N efficiency:
+
+  - alu: whole-stage-codegen xxhash64 chain over spark.range — pure
+    register arithmetic, zero allocation, zero shuffle, zero IO. Any
+    shortfall from 1.0 is the box (virtualized CPU, frequency/steal under
+    full load), not a plan.
+  - str: md5 over synthesized 200-char strings — the allocation/GC/memory-
+    bandwidth profile of a string-heavy pipeline, still single-stage,
+    no shuffle, no Python.
+
+If the pipeline's compute-mode efficiency matches or beats `str`, the plan
+contributes no scaling overhead beyond what a trivial map pays on this
+hardware. Prints one JSON line.
+
+Usage: python BENCH/hw_ceiling.py [--levels 8,32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def worker(cpus: int) -> None:
+    from illumio_spark.session import build_session
+    from pyspark.sql import functions as F
+
+    spark = build_session(master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timed(fn):
+        fn()  # warm
+        t0 = time.time()
+        fn()
+        return time.time() - t0
+
+    def alu():
+        df = spark.range(8_000_000_000, numPartitions=cpus * 4)
+        h = F.col("id")
+        for _ in range(6):
+            h = F.xxhash64(h)
+        df.select(F.count(F.when(h % 1000 == 0, 1))).collect()
+
+    def str_mem():
+        df = spark.range(60_000_000, numPartitions=cpus * 4)
+        s = F.concat(F.lpad(F.col("id").cast("string"), 20, "x"), F.lit("y" * 180))
+        df.select(F.count(F.when(F.length(F.md5(s)) > 10, 1))).collect()
+
+    out = {"cpus": cpus, "alu_sec": round(timed(alu), 2), "str_sec": round(timed(str_mem), 2)}
+    spark.stop()
+    print(json.dumps(out))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--levels", default="8,32")
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--cpus", type=int, default=32)
+    args = ap.parse_args()
+    if args.worker:
+        worker(args.cpus)
+        return
+
+    levels = [int(x) for x in args.levels.split(",")]
+    res = {}
+    for cpus in levels:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", "--cpus", str(cpus)],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        res[cpus] = json.loads([l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
+
+    lo, hi = levels[0], levels[-1]
+    ratio = hi / lo
+    summary = {
+        "metric": "hw_scaling_ceiling",
+        "levels": res,
+        "alu_efficiency": round(res[lo]["alu_sec"] / res[hi]["alu_sec"] / ratio, 3),
+        "str_efficiency": round(res[lo]["str_sec"] / res[hi]["str_sec"] / ratio, 3),
+    }
+    with open(os.path.join(REPO, "BENCH", "hw_ceiling.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

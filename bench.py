@@ -29,6 +29,7 @@ CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cac
 # conversations per unit SF (mean ≈ 13.3 turns/conv → sf0.1 ≈ 1M turns)
 CONV_PER_SF = 750_000
 HOT_FRAC = 0.2
+SYNTH_VERSION = 2  # bump when synth.py changes payload shape (invalidates cache)
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -51,7 +52,7 @@ def sf_of(sf_dir: str) -> float:
 def transcripts_path(spark, sf: float) -> tuple[str, int]:
     """Deterministic cached transcript input for this scale."""
     n_conv = max(int(sf * CONV_PER_SF), 200)
-    path = os.path.join(CACHE_DIR, f"transcripts_nconv{n_conv}.parquet")
+    path = os.path.join(CACHE_DIR, f"transcripts_v{SYNTH_VERSION}_nconv{n_conv}.parquet")
     meta = path + ".meta.json"
     if not (os.path.exists(path) and os.path.exists(meta)):
         from illumio_spark import synth

@@ -31,6 +31,7 @@ Routing semantics (mirrors oracle.parse_text exactly):
 from __future__ import annotations
 
 import json
+import re
 from collections.abc import Iterator
 
 import numpy as np
@@ -40,6 +41,16 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from illumio_spark import schema as S
 
 SUMMARY_COLS = [f"s_{f}" for f in S.SUMMARY_TEXT_FIELDS]
+
+# Java regex variant of the summary grok pattern: Java named groups forbid
+# underscores, and extraction is by index anyway — strip the (?P<name> names
+_JAVA_SUMMARY_REGEX = re.sub(r"\(\?P<[^>]+>", "(", S.SUMMARY_TEXT_REGEX)
+
+# Jackson option alignment with the oracle's strict json.loads: Spark's
+# from_json default allows single-quoted JSON (Python's json rejects it);
+# everything else malformed in our corpus (truncated JSON, garbage, missing/
+# blank event_type) already nulls out identically (verified empirically)
+AUDIT_JSON_OPTIONS = {"allowSingleQuotes": "false"}
 
 PARSED_FIELDS = [
     *[T.StructField(c, T.StringType(), True) for c in SUMMARY_COLS],
@@ -151,14 +162,18 @@ def with_audit_fields(df: DataFrame) -> DataFrame:
     is_audit = F.col("event_class") == S.CLASS_AUDITABLE
     df = df.withColumn(
         "audit",
-        F.when(is_audit, F.from_json(F.col("text"), S.AUDIT_JSON_SCHEMA)),
+        F.when(is_audit, F.from_json(F.col("text"), S.AUDIT_JSON_SCHEMA, AUDIT_JSON_OPTIONS)),
     )
     return df.withColumns(audit_field_columns())
 
 
-def parse_turns(df: DataFrame) -> DataFrame:
+def parse_turns_pandas(df: DataFrame) -> DataFrame:
     """transcripts → + summary s_* columns, event_class, error_reason,
-    audit struct + flat a_* nested extractions."""
+    audit struct + flat a_* nested extractions (Arrow-batched pandas path).
+
+    This is the mandated pandas-UDF grok surface — use it when extraction
+    genuinely needs Python (exotic grok, per-batch state). For this regex-
+    expressible pattern the JVM path below is faster and scales better."""
     schema = parsed_schema(df.schema)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -166,3 +181,60 @@ def parse_turns(df: DataFrame) -> DataFrame:
             yield parse_batch(pdf)
 
     return with_audit_fields(df.mapInPandas(run, schema=schema))
+
+
+_SEP = "\x01"  # separator for the one-pass regexp_replace group extraction
+
+
+def parse_turns_jvm(df: DataFrame) -> DataFrame:
+    """Full-JVM parse: identical routing + extraction semantics, zero Python.
+
+    Summary extraction is TWO regex passes (rlike to classify, one
+    regexp_replace rewriting the line to $1␁$2␁…, then a split) instead of
+    eight regexp_extract calls; audit classification is from_json with
+    strict-json options (alignment with the oracle's json.loads verified on
+    every malformed class in the corpus). Everything stays inside
+    whole-stage codegen / Catalyst — no Arrow transfer, no Python workers,
+    which is worth ~15-25% e2e and scales with cores (BENCH/BASELINE.md).
+
+    Caveat vs the pandas path: a summary line whose msg contains \\x01
+    would misalign the split (not expressible in the reference's syslog
+    domain; parse_turns_pandas is the byte-safe fallback)."""
+    text = F.col("text")
+    stripped = F.trim(text)
+    blank = text.isNull() | (stripped == "")
+    is_summary = (~blank) & text.rlike(_JAVA_SUMMARY_REGEX)
+
+    repl = _SEP.join(f"${i}" for i in range(1, len(S.SUMMARY_TEXT_FIELDS) + 1))
+    parts = F.split(F.regexp_replace(text, _JAVA_SUMMARY_REGEX, repl), _SEP, -1)
+    df = df.withColumns(
+        {
+            f"s_{f}": F.when(is_summary, F.get(parts, F.lit(i)))
+            for i, f in enumerate(S.SUMMARY_TEXT_FIELDS)
+        }
+    )
+
+    audit_cand = (~blank) & (~is_summary) & stripped.startswith("{")
+    df = df.withColumn(
+        "audit",
+        F.when(audit_cand, F.from_json(text, S.AUDIT_JSON_SCHEMA, AUDIT_JSON_OPTIONS)),
+    )
+    is_audit = F.nullif(F.trim(F.col("audit")["event_type"]), F.lit("")).isNotNull()
+    df = df.withColumn(
+        "event_class",
+        F.when(blank, F.lit(None).cast("string"))
+        .when(is_summary, S.CLASS_SUMMARY)
+        .when(is_audit, S.CLASS_AUDITABLE),
+    ).withColumn(
+        "error_reason",
+        F.when(blank, S.ERROR_EMPTY).when(
+            F.col("event_class").isNull(), S.ERROR_UNPARSEABLE
+        ),
+    )
+    return df.withColumns(audit_field_columns())
+
+
+def parse_turns(df: DataFrame, parser: str = "jvm") -> DataFrame:
+    """transcripts → + parsed columns. parser: 'jvm' (default, zero-Python
+    codegen path) or 'pandas' (Arrow-batched mapInPandas grok surface)."""
+    return parse_turns_jvm(df) if parser == "jvm" else parse_turns_pandas(df)

@@ -24,6 +24,7 @@ def salted_agg(
     keys: list[str],
     aggs: dict[str, tuple[str, str]],
     n_salts: int = 32,
+    heavy_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Two-phase aggregation: groupBy(keys + salt) partials, then combine.
 
@@ -31,8 +32,27 @@ def salted_agg(
     (algebraic aggregates — the decomposable ones).
     Example: salted_agg(df, ["conv_id"], {"n": ("count", "*"),
                                           "bytes": ("sum", "n_chars")})
-    """
-    salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(n_salts))
+
+    heavy_keys: optional single-column DataFrame of known hot key values
+    (first key column). When given, ONLY those keys are salted — unskewed
+    keys keep salt 0, so their partials collapse to one row and the second
+    shuffle moves almost nothing. When omitted, every key is salted
+    (correct but pays a second shuffle even for uniform data; prefer
+    passing heavy_keys or leaning on AQE skew handling for joins).
+
+    The salt is derived from spark_partition_id — deterministic for a given
+    partitioning and always safe for algebraic aggregates (partials commute),
+    unlike monotonically_increasing_id whose values shift under recompute."""
+    salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.spark_partition_id()), F.lit(n_salts))
+    if heavy_keys is not None:
+        hk = heavy_keys.toDF("__heavy_key").withColumn("__is_heavy", F.lit(True))
+        df = df.join(
+            F.broadcast(hk), df[keys[0]] == hk["__heavy_key"], "left"
+        ).drop("__heavy_key")
+        salt = F.when(F.col("__is_heavy"), salt).otherwise(F.lit(0))
+        df = df.withColumn("__salt", salt).drop("__is_heavy")
+    else:
+        df = df.withColumn("__salt", salt)
     partial_exprs: list[Column] = []
     final_exprs: list[Column] = []
     for out, (kind, col) in aggs.items():
@@ -41,7 +61,7 @@ def salted_agg(
         partial = {"count": F.count, "sum": F.sum, "min": F.min, "max": F.max}[partial_kind](src)
         partial_exprs.append(partial.alias(f"__p_{out}"))
         final_exprs.append(combiner(F.col(f"__p_{out}")).alias(out))
-    partials = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*partial_exprs)
+    partials = df.groupBy(*keys, "__salt").agg(*partial_exprs)
     return partials.groupBy(*keys).agg(*final_exprs)
 
 

@@ -3,7 +3,8 @@
 One declarative DataFrame plan per run (reference: the hand-rolled poll
 loop + per-type dispatch at app/main.py:272-384):
 
-  transcripts ──parse (ONE mapInPandas grok pass, Arrow-batched)
+  transcripts ──parse (default: full-JVM regex + from_json, zero Python;
+                       alt: ONE mapInPandas grok pass, Arrow-batched)
               ──enrich (broadcast equi-join, (role,tool)→event_type→severity)
               ──format (JVM concat expressions, byte-equal routed_text)
               ──fan-out (ONE write job: sinks as partition values +
@@ -49,8 +50,10 @@ def enrichment_lookup(spark: SparkSession) -> DataFrame:
     )
 
 
-def parse_enrich_format(spark: SparkSession, transcripts: DataFrame) -> DataFrame:
-    df = parse_turns(transcripts)
+def parse_enrich_format(
+    spark: SparkSession, transcripts: DataFrame, parser: str = "jvm"
+) -> DataFrame:
+    df = parse_turns(transcripts, parser=parser)
 
     lk = enrichment_lookup(spark)
     df = df.withColumn("tool_key", F.coalesce(F.col("tool"), F.lit(NULL_TOOL_KEY)))
@@ -150,6 +153,7 @@ def run_pipeline(
     io=None,
     run_id: str = "run0",
     sink_partitions: int | None = None,
+    parser: str = "jvm",
 ):
     """Execute the full fan-out.
 
@@ -174,7 +178,7 @@ def run_pipeline(
             # usual 2-4 × total-cores rule
             sink_partitions = spark.sparkContext.defaultParallelism * 4
         transcripts = ordered_for_sink(transcripts, sink_partitions, sort=True)
-    enriched = parse_enrich_format(spark, transcripts)
+    enriched = parse_enrich_format(spark, transcripts, parser=parser)
 
     if io is None:
         out = {

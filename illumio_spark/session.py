@@ -67,6 +67,13 @@ def build_session(
             os.environ.get("SPARK_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
         )
         .config("spark.sql.files.openCostInBytes", str(512 * 1024))
+        # zstd sink writes: ~2× fewer bytes than snappy for these string-heavy
+        # sinks — the shared single disk is the measured non-scaling residual
+        # (BENCH/BASELINE.md), so write bytes buy scaling efficiency directly
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_PARQUET_CODEC", "zstd"),
+        )
         .config("spark.ui.enabled", "false")
     )
     if iceberg_available():

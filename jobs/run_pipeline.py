@@ -33,12 +33,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", help="transcript table path (parquet dir / Iceberg table)")
+    ap.add_argument("--input-format", default="parquet", choices=["parquet", "gz-ndjson"],
+                    help="gz-ndjson = raw wire format (S7): read.text over *.gz → from_json")
+    ap.add_argument("--ttl-cutoff", default=None, metavar="TIMESTAMP",
+                    help="T11 maintenance: after the run, delete sink rows with "
+                         "ts < cutoff (e.g. '2026-01-01 00:00:00')")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate N synthetic conversations instead of --input")
     ap.add_argument("--output", required=True, help="sink root (TableIO)")
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--resume", action="store_true", help="skip days already checkpointed")
     ap.add_argument("--sink-partitions", type=int, default=None)
+    ap.add_argument("--parser", default="jvm", choices=["jvm", "pandas"],
+                    help="jvm = zero-Python codegen parse (default); pandas = "
+                         "Arrow-batched mapInPandas grok (byte-equal)")
     ap.add_argument("--master", default=None, help="override master (default: from spark-submit)")
     ap.add_argument("--streaming", action="store_true",
                     help="run as a Structured Streaming job over --input (availableNow)")
@@ -68,6 +76,11 @@ def main() -> None:
         from illumio_spark import synth
 
         transcripts = synth.generate_spark(spark, args.synthetic, hot_frac=0.2)
+    elif args.input_format == "gz-ndjson":
+        from illumio_spark.sources.rawlog import read_raw_gz
+
+        glob = args.input if "*" in args.input else os.path.join(args.input, "*.gz")
+        transcripts = read_raw_gz(spark, glob)
     else:
         transcripts = spark.read.parquet(args.input)
 
@@ -75,7 +88,8 @@ def main() -> None:
     if args.resume:
         from illumio_spark.plans.resume import run_resumable
 
-        result = run_resumable(spark, transcripts, io, run_id, args.sink_partitions)
+        result = run_resumable(spark, transcripts, io, run_id, args.sink_partitions,
+                               parser=args.parser)
         if result is None:
             print("[pipeline] nothing pending — all input days already committed")
             return
@@ -83,7 +97,7 @@ def main() -> None:
         from illumio_spark.plans.pipeline import run_pipeline
 
         result = run_pipeline(spark, transcripts, io=io, run_id=run_id,
-                              sink_partitions=args.sink_partitions)
+                              sink_partitions=args.sink_partitions, parser=args.parser)
 
     dt = time.time() - t0
     roll = {(r["event_class"], r["sink"]): r["n_rows"] for r in result["rollups"].collect()}
@@ -94,6 +108,10 @@ def main() -> None:
         print(f"[pipeline]   {sink:>14s} {str(ec):>10s}: {n:,}")
     for line in metrics.report():
         print(f"[metrics] {line}")
+
+    if args.ttl_cutoff:
+        io.delete_where(spark, "pipeline_out", f"ts < timestamp'{args.ttl_cutoff}'")
+        print(f"[pipeline] TTL: deleted sink rows with ts < {args.ttl_cutoff}")
 
 
 if __name__ == "__main__":

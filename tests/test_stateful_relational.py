@@ -70,6 +70,26 @@ def test_salted_agg_hot_key(spark, pdf):
     assert got == want
 
 
+def test_salted_agg_heavy_keys_only(spark, pdf):
+    # heavy-hitter mode: only listed keys are salted; results stay exact
+    df = spark.createDataFrame(pdf).withColumn("n_chars", F.length("text"))
+    hot = spark.createDataFrame([("conv-00000000",)], "k string")
+    got = {
+        r["conv_id"]: (r["n"], r["chars"])
+        for r in salted_agg(
+            df, ["conv_id"], {"n": ("count", "*"), "chars": ("sum", "n_chars")},
+            heavy_keys=hot,
+        ).collect()
+    }
+    want = {
+        r["conv_id"]: (r["n"], r["chars"])
+        for r in df.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_windowed_growth(spark, pdf):
     df = spark.createDataFrame(pdf)
     got = windowed_growth(df, "ts", "1 DAY").count()
