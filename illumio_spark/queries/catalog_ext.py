@@ -216,6 +216,30 @@ def p7b_real_map_fold(spark, sf_dir):
     return ev.select("event_id", F.concat(F.lit("Source: "), folded).alias("label_str"))
 
 
+_Q5_SQL = """
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+"""
+
+
+@q("sql_q5_local_supplier", _Q5_SQL)
+def sql_q5_local_supplier(spark, sf_dir):
+    # the SQL-API surface: the SAME ANSI SQL text runs on both engines —
+    # spark.sql over temp views vs DuckDB over the same parquet. Catalyst
+    # broadcast-plans the dims and reorders the join chain for free.
+    for t in ["customer", "orders", "lineitem", "supplier", "nation", "region"]:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q5_SQL)
+
+
 @q(
     "set_intersect_users",
     """

@@ -286,19 +286,23 @@ def td_ann_cosine_topk(spark, sf_dir):
     return SIM.brute_force_topk(emb, qs, k=10)
 
 
+def _bucket_sql_expr(vec: str, table: int, n_planes: int = 4, dim: int = 64) -> str:
+    """DuckDB bucket expression with the SAME seeded hyperplanes the Spark
+    side uses, embedded as double literals (sign pattern of dot products)."""
+    planes = SIM.hyperplanes(dim, n_planes, SIM.LSH_SEED + table)
+    bits = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        bits.append(f"(CASE WHEN list_dot_product({vec}, {lit}) > 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(bits)
+
+
 def _ann_lsh_sql(n_planes: int = 4, dim: int = 64, n_tables: int = 3, k: int = 10) -> str:
-    """DuckDB oracle for the multi-table hyperplane-LSH top-k: the SAME
-    seeded hyperplanes the Spark side uses, embedded as double literals;
-    bucket = sign pattern of dot products, candidates = (table, bucket)
-    equi-join, rank = cosine desc."""
+    """DuckDB oracle for the multi-table hyperplane-LSH top-k: bucket =
+    sign pattern, candidates = (table, bucket) equi-join, rank = cosine."""
 
     def bucket_expr(vec: str, table: int) -> str:
-        planes = SIM.hyperplanes(dim, n_planes, SIM.LSH_SEED + table)
-        bits = []
-        for i, p in enumerate(planes):
-            lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
-            bits.append(f"(CASE WHEN list_dot_product({vec}, {lit}) > 0 THEN {1 << i} ELSE 0 END)")
-        return " + ".join(bits)
+        return _bucket_sql_expr(vec, table, n_planes, dim)
 
     eb_union = "\n      UNION ALL ".join(
         f"SELECT vec_id, v, {t} AS tbl, {bucket_expr('v', t)} AS bucket FROM e"
@@ -352,6 +356,71 @@ def td_embedding_norms(spark, sf_dir):
     return emb.select(
         "vec_id",
         F.round(SIM.l2_norm(F.col("embedding").cast("array<double>")), 4).alias("l2"),
+    )
+
+
+def _emb_neardup_sql(n_tables: int = 3, threshold: float = 0.9) -> str:
+    """DuckDB oracle for the LSH-bucketed embedding near-dup search: the
+    corpus is embeddings plus deterministic perturbed copies (+0.05 per
+    component) of vec_id < 20; candidate pairs from the bucket equi-join;
+    kept when cosine >= threshold. IDs only — cosine values stay engine-
+    internal so float rounding can't flip the hash compare (the injected
+    pairs sit far above the cut)."""
+    eb_union = "\n      UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS tbl, {_bucket_sql_expr('v', t)} AS bucket FROM corpus"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id,
+               list_transform(embedding::DOUBLE[], x -> x + 0.05) AS v
+        FROM embeddings WHERE vec_id < 20
+    ),
+    eb AS ({eb_union}),
+    cand AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               any_value(a.v) AS va, any_value(b.v) AS vb
+        FROM eb a JOIN eb b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT id_a, id_b FROM cand
+    WHERE list_cosine_similarity(va, vb) >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
+@q("td_embedding_neardup", _emb_neardup_sql())
+def td_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate detection, LSH-bucketed: candidates
+    from the multi-table hyperplane bucket equi-join (never an O(n²) cross
+    join), verified by exact cosine ≥ 0.9. The corpus injects deterministic
+    near-dups (+0.05 per component) so the operator has signal."""
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    near = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(F.col("embedding").cast("array<double>"), lambda x: x + 0.05).alias("v"),
+    )
+    corpus = base.unionByName(near)
+    eb = SIM._bucketed_long(corpus, "vec_id", "v", n_planes=4, dim=64, n_tables=3)
+    a, b = eb.alias("a"), eb.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .agg(F.any_value(F.col("a.v")).alias("va"), F.any_value(F.col("b.v")).alias("vb"))
+    )
+    return (
+        cand.filter(SIM.cosine(F.col("va"), F.col("vb")) >= 0.9)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
     )
 
 

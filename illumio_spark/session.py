@@ -75,6 +75,7 @@ def build_session(
             os.environ.get("SPARK_PARQUET_CODEC", "zstd"),
         )
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     if iceberg_available():
         wh = warehouse or os.path.join(os.getcwd(), "warehouse")

@@ -50,6 +50,33 @@ def test_stateful_sessionizer_matches_batch(spark, pdf):
     assert (merged["last_ts_got"] == merged["last_ts_want"]).all()
 
 
+def test_sessionizer_gap_parameter(spark, pdf):
+    """The gap knob must thread into the state function: a tiny gap closes
+    every conversation (all turn deltas are ≥ 1 s > 0-minute gap window),
+    while the default 30-minute gap leaves in-progress sessions open."""
+    input_dir = tempfile.mkdtemp(prefix="gap_in_")
+    synth.write_parquet(pdf, os.path.join(input_dir, "part-0.parquet"))
+    ckpt = tempfile.mkdtemp(prefix="gap_ckpt_")
+
+    from illumio_spark import schema as S
+
+    stream = spark.readStream.schema(S.TRANSCRIPT_SCHEMA).parquet(input_dir)
+    q = (
+        sessionize_stream(stream, watermark="0 seconds", gap="1 second")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("gap_sessions")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select * from gap_sessions").toPandas()
+    # with a 1 s gap and a watermark that has advanced past every event,
+    # closed session-summary rows must appear (timeout fired)
+    assert got["closed"].any()
+
+
 def test_salted_agg_hot_key(spark, pdf):
     df = spark.createDataFrame(pdf)
     got = {
