@@ -39,8 +39,12 @@ HEADLINE = [
     "j2_route_fanout",
     "td_exact_dedup",
     "td_minhash_signature",
+    "td_minhash_lsh_pairs",
+    "td_simhash_neardup",
+    "td_embedding_neardup",
     "td_ann_cosine_topk",
     "td_token_count",
+    "p4_nested_extraction",
 ]
 
 

@@ -54,7 +54,13 @@ def minhash_signature(shingles: Column, n_hashes: int = N_MINHASH) -> list[Colum
 
     NB: the per-salt lambda must stay single-parameter — pyspark binds a
     second parameter of a transform() lambda to the array index.
-    """
+
+    Scale note: pass a pre-materialized shingles COLUMN (see
+    minhash_signatures_df) when n_hashes > 1 — each mh_i embeds its own
+    copy of the shingle expression tree, and higher-order functions run
+    interpreted (no codegen, no subexpression elimination), so inlined
+    shingles get rebuilt n_hashes times per row (measured 8× ≈ 45 s vs
+    6 s on 5k docs)."""
 
     def salted(salt: str):
         return lambda s: F.md5(F.concat(F.lit(salt), s))
@@ -63,6 +69,22 @@ def minhash_signature(shingles: Column, n_hashes: int = N_MINHASH) -> list[Colum
         F.array_min(F.transform(shingles, salted(f"s{i}-"))).alias(f"mh{i}")
         for i in range(n_hashes)
     ]
+
+
+def minhash_signatures_df(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 3, n_hashes: int = N_MINHASH,
+) -> DataFrame:
+    """(id, mh0..mh{n-1}) with the shingle array built ONCE per row.
+
+    The shingles land in their own projection; because the column is
+    referenced by every mh_i (multi-reference, non-cheap), Catalyst's
+    CollapseProject keeps the projections separate instead of re-inlining
+    the shingle tree into each hash — the 100 TB-path guarantee that
+    signature cost is O(shingles + n_hashes·shingles), not
+    O(n_hashes·shingle_build)."""
+    with_sh = df.withColumn("__sh", word_shingles(F.col(text_col), k))
+    return with_sh.select(id_col, *minhash_signature(F.col("__sh"), n_hashes))
 
 
 def lsh_bands(n_hashes: int = N_MINHASH, n_bands: int = N_BANDS) -> list[Column]:
@@ -85,6 +107,9 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     bands = [c for c in sigs.columns if c.startswith("band")]
     stack_expr = ", ".join(f"'{b}', {b}" for b in bands)
     long = sigs.selectExpr(id_col, f"stack({len(bands)}, {stack_expr}) as (band_idx, band_key)")
+    # materialize via an exchange: the self-join's two sides then share ONE
+    # ReusedExchange instead of each recomputing the full signature tree
+    long = long.repartition("band_key")
     a = long.alias("a")
     b = long.alias("b")
     return (

@@ -63,11 +63,22 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = LSH_SEED) -> np.ndarra
     return rng.standard_normal((n_planes, dim))
 
 
+# above this many plane literals (n_planes × dim), switch the bucket
+# assignment from JVM fold expressions to one Arrow-batched numpy matmul —
+# giant literal expression trees bloat the plan/codegen, while a (batch ×
+# dim) @ (dim × planes) matmul ships the planes once per worker
+LSH_LITERAL_BUDGET = 4096
+
+
 def lsh_bucket_column(vec, n_planes: int, dim: int, seed: int) -> "F.Column":
     """Random-hyperplane LSH: sign pattern of <v, p_i> → integer bucket.
 
-    Deterministic planes (seeded) are embedded as literal arrays — at scale
-    these would ship via broadcast; sign computation is pure JVM fold."""
+    Small plane sets are embedded as literal arrays (pure JVM fold, zero
+    Python); large ones (real embedding dims × many planes) go through
+    lsh_bucket_pandas — a vectorized matmul with the planes captured in the
+    UDF closure (broadcast once per worker)."""
+    if n_planes * dim > LSH_LITERAL_BUDGET:
+        return lsh_bucket_pandas(vec, n_planes, dim, seed)
     planes = hyperplanes(dim, n_planes, seed)
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
@@ -75,6 +86,26 @@ def lsh_bucket_column(vec, n_planes: int, dim: int, seed: int) -> "F.Column":
         bit = F.when(_dot(vec, plane) > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
         bucket = bucket.bitwiseOR(bit)
     return bucket
+
+
+def lsh_bucket_pandas(vec, n_planes: int, dim: int, seed: int) -> "F.Column":
+    """Bucket assignment as ONE numpy matmul per Arrow batch: signs of
+    (batch × dim) @ planes.T, packed to an integer via bit weights."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    planes_t = hyperplanes(dim, n_planes, seed).T  # (dim, n_planes)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def _bucket(v):
+        mat = np.asarray(v.tolist(), dtype=np.float64)  # (batch, dim)
+        bits = (mat @ planes_t) > 0  # (batch, n_planes)
+        return pd.Series(bits @ weights)
+
+    # non-decorator form: `from __future__ import annotations` stringifies
+    # type hints, which pandas_udf's hint inference can't resolve here
+    return pandas_udf(_bucket, T.LongType())(vec)
 
 
 def _bucketed_long(df: DataFrame, id_alias: str, vec_alias: str,

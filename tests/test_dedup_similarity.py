@@ -44,6 +44,25 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert (0, 3) not in pairs and (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_simhash_df_equals_column_version(spark, docs):
+    # the explode+codegen scale path must produce identical blocks to the
+    # per-row column expression (and both to the DuckDB oracle, via selfcheck)
+    from pyspark.sql import functions as F
+
+    docs2 = docs.union(spark.createDataFrame([(9, ""), (10, "one")], "doc_id long, text string"))
+    col_ver = {
+        r.doc_id: (r.b0, r.b1, r.b2, r.b3)
+        for r in docs2.select(
+            "doc_id", *[b.alias(f"b{k}") for k, b in enumerate(TX.simhash_blocks(F.col("text")))]
+        ).collect()
+    }
+    df_ver = {
+        r.doc_id: (r.b0, r.b1, r.b2, r.b3)
+        for r in TX.simhash_blocks_df(docs2).collect()
+    }
+    assert df_ver == col_ver and len(df_ver) == 6
+
+
 def test_simhash_hamming(spark, docs):
     sig = docs.withColumn("sig", TX.simhash(F.col("text"))).collect()
     s = {r.doc_id: r.sig for r in sig}
@@ -70,6 +89,20 @@ def test_brute_force_topk(emb):
     assert len(out) == 5
     by_rank = {r.rank: r.neighbor_id for r in out}
     assert by_rank[1] == 1  # the injected near-duplicate is the top neighbor
+
+
+def test_lsh_bucket_paths_agree(emb):
+    # the literal-fold JVM path and the matmul pandas path must assign
+    # identical buckets (same seeded planes, sign test on the same doubles)
+    from pyspark.sql import functions as F
+
+    v = F.col("embedding").cast("array<double>")
+    out = emb.select(
+        "vec_id",
+        SIM.lsh_bucket_column(v, 4, 16, SIM.LSH_SEED).alias("jvm"),
+        SIM.lsh_bucket_pandas(v, 4, 16, SIM.LSH_SEED).alias("np"),
+    ).collect()
+    assert all(r.jvm == r.np for r in out) and len(out) == 60
 
 
 def test_lsh_topk_recall(emb):
