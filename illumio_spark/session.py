@@ -55,6 +55,13 @@ def build_session(
         # 16g measured more stable than 48g here: big G1 young gens gave
         # 2-3x run-to-run swings on the shuffle-heavy pipeline
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # throughput GC: the format stage allocates ~GBs of short-lived
+        # strings per run; ParallelGC measured 7-16% faster than G1 on the
+        # format-heavy phase at both 2 and 8 cores
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # local-scale file splitting: the SF-down inputs are tens of MB, and
