@@ -38,9 +38,12 @@ def worker(cpus: int) -> None:
 
     def timed(fn):
         fn()  # warm
-        t0 = time.time()
-        fn()
-        return time.time() - t0
+        best = float("inf")
+        for _ in range(2):  # min of 2: VM noise only ever slows a run down
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return best
 
     def alu():
         df = spark.range(8_000_000_000, numPartitions=cpus * 4)
@@ -61,7 +64,7 @@ def worker(cpus: int) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--levels", default="8,32")
+    ap.add_argument("--levels", default="2,8,32")
     ap.add_argument("--worker", action="store_true")
     ap.add_argument("--cpus", type=int, default=32)
     args = ap.parse_args()
@@ -78,14 +81,16 @@ def main() -> None:
         )
         res[cpus] = json.loads([l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
 
-    lo, hi = levels[0], levels[-1]
-    ratio = hi / lo
-    summary = {
-        "metric": "hw_scaling_ceiling",
-        "levels": res,
-        "alu_efficiency": round(res[lo]["alu_sec"] / res[hi]["alu_sec"] / ratio, 3),
-        "str_efficiency": round(res[lo]["str_sec"] / res[hi]["str_sec"] / ratio, 3),
-    }
+    pairs = []
+    for lo in levels:
+        hi = lo * 4
+        if hi in res:
+            pairs.append({
+                "n": lo, "n4": hi,
+                "alu_efficiency": round(res[lo]["alu_sec"] / res[hi]["alu_sec"] / 4, 3),
+                "str_efficiency": round(res[lo]["str_sec"] / res[hi]["str_sec"] / 4, 3),
+            })
+    summary = {"metric": "hw_scaling_ceiling", "levels": res, "pairs": pairs}
     with open(os.path.join(REPO, "BENCH", "hw_ceiling.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))

@@ -151,27 +151,28 @@ def main() -> None:
     if os.path.exists(hw_path):
         with open(hw_path) as f:
             hw = json.load(f)
-        lv = sorted(int(c) for c in hw["levels"])
-        lo, hi = lv[0], lv[-1]
-        a, s = hw["levels"][str(lo)], hw["levels"][str(hi)]
+        rows = "\n".join(
+            f"| {p['n']} → {p['n4']} | {p['alu_efficiency']} | {p['str_efficiency']} |"
+            for p in hw["pairs"]
+        )
         hw_section = f"""
-### This box's own {lo}→{hi} ceiling (measured, `BENCH/hw_ceiling.py`)
+### This box's own N→4N ceilings (measured, `BENCH/hw_ceiling.py`)
 
 Two plan-free single-stage micro-workloads — no shuffle, no Python, no
-sinks — bound what ANY job can achieve from {lo}→{hi} cores on this VM:
+sinks — bound what ANY job can achieve on this VM:
 
-| micro-workload | local[{lo}] (s) | local[{hi}] (s) | {lo}→{hi} efficiency |
-|---|---|---|---|
-| pure ALU (codegen xxhash64 chain over range) | {a['alu_sec']} | {s['alu_sec']} | {hw['alu_efficiency']} |
-| string/alloc (md5 over 200-char strings) | {a['str_sec']} | {s['str_sec']} | {hw['str_efficiency']} |
+| N → 4N | pure ALU (codegen xxhash64 chain) | string/alloc (md5 over 200-char strings) |
+|---|---|---|
+{rows}
 
-Even pure register arithmetic tops out at {hw['alu_efficiency']} (virtualized
-CPU under full load); the allocation/memory-bandwidth profile of a
-string-heavy job tops out at {hw['str_efficiency']}. A compute-mode pipeline
-efficiency at or above the string ceiling means the PLAN adds no scaling
-overhead beyond what a trivial map pays on this box; the low-core pair is
-the linear-region evidence for real multi-executor hardware, where each
-executor brings its own memory bus and disks.
+The high-core pairs are capped by the box itself — even pure register
+arithmetic can't reach 0.8 from 8→32 on this virtualized single-socket
+VM, and the allocation/memory-bandwidth profile of any string-heavy job
+caps lower still. A pipeline efficiency at or above the string ceiling
+for the same pair means the PLAN adds no scaling overhead beyond what a
+trivial map pays; the low-core pair is the linear-region evidence for
+real multi-executor hardware, where each executor brings its own memory
+bus and disks.
 """
 
     best_tp = max(tp["e2e"].values())

@@ -100,7 +100,12 @@ def _simhash_vote_bits(text: Column) -> tuple[Column, Column]:
 
 
 def simhash_blocks(text: Column, n_blocks: int = SIMHASH_BLOCKS) -> list[Column]:
-    """SimHash as n_blocks 16-bit integer blocks (big-endian bit order)."""
+    """SimHash as n_blocks 16-bit integer blocks (big-endian bit order).
+
+    Column-expression form for ad-hoc / small inputs: the vote loop is a
+    higher-order aggregate (interpreted, shared subtree re-evaluated per
+    block). At corpus scale use simhash_blocks_df — explode + codegen'd
+    sums, measured 14× faster on 5k docs."""
     bits, _ = _simhash_vote_bits(text)
     out = []
     for k in range(n_blocks):
