@@ -532,6 +532,72 @@ def td_rolling_fingerprint(spark, sf_dir):
     return d.select("doc_id", TX.rolling_fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
 
 
+@q(
+    "td_media_sniff",
+    """
+    SELECT event_id,
+           CASE WHEN event_id % 4 = 0 THEN 'png'
+                WHEN event_id % 4 = 1 THEN 'gif'
+                WHEN event_id % 4 = 2 THEN 'wav'
+                ELSE 'unknown' END AS media_format,
+           CASE WHEN event_id % 4 = 0 THEN CAST(event_id % 640 + 1 AS INTEGER)
+                WHEN event_id % 4 = 1 THEN CAST(event_id % 320 + 1 AS INTEGER)
+                END AS width,
+           CASE WHEN event_id % 4 = 0 THEN CAST(event_id % 480 + 1 AS INTEGER)
+                WHEN event_id % 4 = 1 THEN CAST(event_id % 200 + 1 AS INTEGER)
+                END AS height,
+           CASE WHEN event_id % 4 = 2 THEN CAST(8000 + event_id % 40000 AS INTEGER)
+                END AS sample_rate,
+           CASE WHEN event_id % 4 = 2 THEN CAST(event_id % 2 + 1 AS INTEGER)
+                END AS channels
+    FROM events WHERE event_id < 1000
+    """,
+)
+def td_media_sniff(spark, sf_dir):
+    """Multimodal header sniffing, oracle-checked end-to-end: payloads are
+    REAL container headers (PNG IHDR / GIF LSD / WAV fmt) generated from
+    event_id, and media_meta must parse back exactly the generating
+    parameters — the parser, not a fake, is under test."""
+    import struct
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from illumio_spark.functions.multimodal import media_meta
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 1000).select("event_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def payload(i: int) -> bytes:
+            m = i % 4
+            if m == 0:
+                return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+                        + struct.pack(">II", i % 640 + 1, i % 480 + 1)
+                        + b"\x08\x06\x00\x00\x00" + b"\x00" * 8)
+            if m == 1:
+                return b"GIF89a" + struct.pack("<HH", i % 320 + 1, i % 200 + 1) + b"\x00" * 6
+            if m == 2:
+                sr, ch = 8000 + i % 40000, i % 2 + 1
+                fmt = struct.pack("<IHHIIHH", 16, 1, ch, sr, sr * ch * 2, ch * 2, 16)
+                return b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt " + fmt
+            return b"plain bytes " + str(i).encode()
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["event_id"], "payload": [payload(int(i)) for i in pdf["event_id"]]}
+            )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    parsed = media_meta(ev.mapInPandas(gen, schema=schema))
+    return parsed.select(
+        F.col("doc_id").alias("event_id"),
+        "media_format", "width", "height", "sample_rate", "channels",
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (binary columns + typed metadata; decode is a
 # deterministic fake — the image/audio libs aren't in this container)

@@ -52,6 +52,60 @@ def payloads(spark):
     return spark.createDataFrame(rows, "doc_id long, payload binary")
 
 
+def _png(w, h):
+    import struct
+
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00" + b"\x00" * 8)
+
+
+def _gif(w, h):
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 6
+
+
+def _jpeg(w, h):
+    import struct
+
+    # SOI + APP0 segment + SOF0 frame header + EOI
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", h, w) + b"\x03" + b"\x00" * 9
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _wav(sample_rate, channels):
+    import struct
+
+    fmt = struct.pack("<IHHIIHH", 16, 1, channels, sample_rate,
+                      sample_rate * channels * 2, channels * 2, 16)
+    return b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt " + fmt + b"data\x00\x00\x00\x00"
+
+
+def test_media_meta_real_headers(spark):
+    rows = [
+        (0, bytearray(_png(640, 480))),
+        (1, bytearray(_gif(320, 200))),
+        (2, bytearray(_jpeg(1920, 1080))),
+        (3, bytearray(_wav(44100, 2))),
+        (4, bytearray(b"not a media file at all, just text bytes")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in MM.media_meta(df).collect()}
+    assert (out[0].media_format, out[0].width, out[0].height) == ("png", 640, 480)
+    assert (out[1].media_format, out[1].width, out[1].height) == ("gif", 320, 200)
+    assert (out[2].media_format, out[2].width, out[2].height) == ("jpeg", 1920, 1080)
+    assert (out[3].media_format, out[3].sample_rate, out[3].channels) == ("wav", 44100, 2)
+    assert out[4].media_format == "unknown" and out[4].width is None
+    assert all(out[i].n_bytes == len(rows[i][1]) for i in range(5))
+
+
+def test_decode_pixels_is_explicit_stub(spark):
+    df = spark.createDataFrame([(0, bytearray(b"x"))], "doc_id long, payload binary")
+    with pytest.raises(NotImplementedError):
+        MM.decode_pixels(df)
+
+
 def test_decode_meta(payloads):
     out = {r.doc_id: r for r in MM.decode_meta(payloads).collect()}
     assert out[0].n_bytes == 100 and out[0].fake_width == 100
