@@ -93,6 +93,17 @@ class TableIO:
         self._commit_manifest(table, run_id, path, df.schema.simpleString())
         return path
 
+    def _read_run_path(self, spark: SparkSession, path: str, schema_str: str) -> DataFrame:
+        """Read one run dir; an EMPTY partitioned write leaves no parquet
+        files (UNABLE_TO_INFER_SCHEMA), so fall back to an empty frame with
+        the manifest-recorded schema — empty inputs must round-trip."""
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], StructType.fromDDL(schema_str))
+
     def read(self, spark: SparkSession, table: str, run_id: str | None = None) -> DataFrame:
         if self.use_iceberg:
             from pyspark.sql.functions import col
@@ -101,14 +112,17 @@ class TableIO:
             if run_id is not None:
                 df = df.filter(col("__run_id") == run_id)
             return df.drop("__run_id")
-        if run_id is not None:
-            return spark.read.parquet(os.path.join(self.root, table, f"run_id={run_id}"))
         runs = self._load_manifest(table)["runs"]
+        if run_id is not None:
+            match = [r for r in runs if r["run_id"] == run_id]
+            if not match:
+                return spark.read.parquet(os.path.join(self.root, table, f"run_id={run_id}"))
+            return self._read_run_path(spark, match[0]["path"], match[0]["schema"])
         if not runs:
             raise FileNotFoundError(f"no committed runs for table {table}")
         # per-run reads unioned so hive-style partition discovery (e.g. the
         # `sink` column) resolves against each run's own base path
-        dfs = [spark.read.parquet(r["path"]) for r in runs]
+        dfs = [self._read_run_path(spark, r["path"], r["schema"]) for r in runs]
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
