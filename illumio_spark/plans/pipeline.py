@@ -21,9 +21,12 @@ Scale design (the 100 TB point — each decision is a shuffle/pass saved):
   - lookup joins are broadcast (≤ 32 rows) — zero shuffle to enrich.
   - ordering/skew: hash repartition on (conv_id, turn_block) splits hot
     conversations into bounded blocks (reference FIFO had them serialize
-    behind one queue, app/log_processor.py:129-169); sortWithinPartitions
-    restores (conv_id, turn_idx) order per file. Hash partitioning avoids
-    repartitionByRange's extra sampling pass over the (expensive) parse.
+    behind one queue, app/log_processor.py:129-169); a TERMINAL
+    sortWithinPartitions at the sink restores (conv_id, turn_idx) order per
+    file (a sort placed before the enrich join is silently removed by
+    Catalyst's EliminateSorts; the wide terminal sort measured +0.4 s at
+    1.3M rows). Hash partitioning avoids repartitionByRange's extra
+    sampling pass over the (expensive) parse.
 """
 
 from __future__ import annotations
@@ -162,14 +165,13 @@ def run_pipeline(
     the read-back sink DataFrames.
     Without: returns the lazy sink DataFrames (test mode).
 
-    The (conv_id, turn_block) repartition AND the (conv_id, turn_idx) sort
-    both happen on the NARROW input — before parse widens rows ~6× — so
-    the plan's only shuffle and only sort move the minimum bytes (sorting
-    the formatted rows instead measured 16s vs ~2s at 5M rows). mapInPandas,
-    broadcast join and projections are order-preserving per partition, so
-    every output file stays (conv_id, turn_idx)-sorted with no further
-    exchange. This also fixes scan under-parallelism on small/compacted
-    inputs (maxPartitionBytes can pack a whole small table into one task)."""
+    The (conv_id, turn_block) repartition happens on the NARROW input —
+    before parse widens rows ~6× — so the plan's only shuffle moves the
+    minimum bytes; the O1 sort is a terminal sortWithinPartitions at the
+    sink (no exchange — rows are already co-partitioned; measured +0.4 s at
+    1.3M rows; an earlier narrow sort is removed by EliminateSorts). This
+    also fixes scan under-parallelism on small/compacted inputs
+    (maxPartitionBytes can pack a whole small table into one task)."""
     if io is not None:
         if sink_partitions is None:
             # over-partition ~4× the core count: Python-stage tasks pipeline
@@ -177,7 +179,11 @@ def run_pipeline(
             # at local[8] and 2× at local[32]); on a cluster this is the
             # usual 2-4 × total-cores rule
             sink_partitions = spark.sparkContext.defaultParallelism * 4
-        transcripts = ordered_for_sink(transcripts, sink_partitions, sort=True)
+        # repartition narrow; the O1 sort happens at the SINK (terminal
+        # sortWithinPartitions below) — a sort placed here, under the enrich
+        # join, gets silently removed by Catalyst's EliminateSorts, and the
+        # terminal wide sort measured only +0.4 s at 1.3M rows anyway
+        transcripts = ordered_for_sink(transcripts, sink_partitions, sort=False)
     enriched = parse_enrich_format(spark, transcripts, parser=parser)
 
     if io is None:
@@ -206,7 +212,10 @@ def run_pipeline(
         return out
 
     obs = Observation("rollups")
-    fan = fanout_frame(enriched).observe(
+    # terminal local sort = the O1 invariant: each sink file comes out
+    # (conv_id, turn_idx)-sorted (a terminal sort survives the optimizer;
+    # test_resume_skew.test_on_disk_per_file_ordering guards this)
+    fan = fanout_frame(enriched).sortWithinPartitions("conv_id", "turn_idx").observe(
         obs,
         F.count(F.when(F.col("event_class") == S.CLASS_SUMMARY, 1)).alias("n_summary"),
         F.count(F.when(F.col("event_class") == S.CLASS_AUDITABLE, 1)).alias("n_auditable"),

@@ -80,6 +80,26 @@ def test_hot_conversation_skew_bounded(spark):
     assert parts["count"].max() < n_hot
 
 
+def test_on_disk_per_file_ordering(spark):
+    """O1: every routed_events parquet file must be (conv_id, turn_idx)-
+    sorted on disk — Catalyst's EliminateSorts used to silently drop the
+    narrow-input sortWithinPartitions below the enrich join (the session
+    excludes that rule; this guards the invariant end-to-end)."""
+    import glob
+
+    import pandas as pd
+
+    pdf = synth.generate_pandas(60, hot_frac=0.3)
+    io = TableIO(tempfile.mkdtemp(prefix="ord_"))
+    run_pipeline(spark, spark.createDataFrame(pdf), io=io, run_id="o1", sink_partitions=8)
+    files = glob.glob(io.root + "/pipeline_out/run_id=o1/sink=*/part-*.parquet")
+    assert len(files) > 1
+    for f in files:
+        got = pd.read_parquet(f)[["conv_id", "turn_idx"]]
+        want = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        assert got.equals(want), f"unsorted sink file {f}"
+
+
 def test_skew_correctness_with_salting(spark):
     pdf = synth.generate_pandas(40, hot_frac=0.45)
     want = oracle.run(pdf)
