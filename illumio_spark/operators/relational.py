@@ -45,7 +45,9 @@ def salted_agg(
     unlike monotonically_increasing_id whose values shift under recompute."""
     salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.spark_partition_id()), F.lit(n_salts))
     if heavy_keys is not None:
-        hk = heavy_keys.toDF("__heavy_key").withColumn("__is_heavy", F.lit(True))
+        # distinct: a duplicated hot-key value in the caller's frame would
+        # otherwise duplicate every matching fact row through the left join
+        hk = heavy_keys.toDF("__heavy_key").distinct().withColumn("__is_heavy", F.lit(True))
         df = df.join(
             F.broadcast(hk), df[keys[0]] == hk["__heavy_key"], "left"
         ).drop("__heavy_key")

@@ -23,11 +23,16 @@ DAY_FMT = "yyyy-MM-dd"
 
 def committed_days(spark: SparkSession, io) -> DataFrame:
     """Distinct day keys with a committed checkpoint row (any run)."""
+    from pyspark.errors import AnalysisException
+
     try:
         ckpt = io.read(spark, "checkpoints")
-    except Exception:
-        # first resumable run: parquet branch raises FileNotFoundError,
-        # Iceberg branch raises AnalysisException for the missing table
+    except (FileNotFoundError, AnalysisException):
+        # first resumable run only: parquet branch raises FileNotFoundError,
+        # Iceberg branch raises AnalysisException for the missing table.
+        # Anything else (corrupt manifest, transient IO) must propagate —
+        # treating it as "no committed days" would reprocess every day and
+        # append duplicate rows to the sinks.
         return spark.createDataFrame([], "partition_key string")
     return ckpt.select("partition_key").distinct()
 

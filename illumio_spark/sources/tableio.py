@@ -39,11 +39,24 @@ class TableIO:
                 return json.load(f)
         return {"table": table, "runs": []}
 
-    def _commit_manifest(self, table: str, run_id: str, path: str, schema: str) -> None:
+    def _commit_manifest(
+        self,
+        table: str,
+        run_id: str,
+        path: str,
+        schema: str,
+        partition_by: list[str] | None = None,
+    ) -> None:
         m = self._load_manifest(table)
         m["runs"] = [r for r in m["runs"] if r["run_id"] != run_id]
         m["runs"].append(
-            {"run_id": run_id, "path": path, "schema": schema, "committed_at": time.time()}
+            {
+                "run_id": run_id,
+                "path": path,
+                "schema": schema,
+                "partition_by": partition_by or [],
+                "committed_at": time.time(),
+            }
         )
         tmp = self._manifest_path(table) + ".tmp"
         os.makedirs(os.path.dirname(tmp), exist_ok=True)
@@ -83,26 +96,34 @@ class TableIO:
                 dfw.writeTo(full).overwrite(col("__run_id") == lit(run_id))
             else:
                 dfw.writeTo(full).append()
-            self._commit_manifest(table, run_id, full, df.schema.simpleString())
+            self._commit_manifest(table, run_id, full, df.schema.simpleString(), partition_by)
             return full
         path = os.path.join(self.root, table, f"run_id={run_id}")
         writer = df.write.mode(mode)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
-        self._commit_manifest(table, run_id, path, df.schema.simpleString())
+        self._commit_manifest(table, run_id, path, df.schema.simpleString(), partition_by)
         return path
 
     def _read_run_path(self, spark: SparkSession, path: str, schema_str: str) -> DataFrame:
         """Read one run dir; an EMPTY partitioned write leaves no parquet
         files (UNABLE_TO_INFER_SCHEMA), so fall back to an empty frame with
         the manifest-recorded schema — empty inputs must round-trip."""
+        from pyspark.errors import AnalysisException
+
         try:
             return spark.read.parquet(path)
-        except Exception:
-            from pyspark.sql.types import StructType
+        except AnalysisException as e:
+            # ONLY the empty-run case (a partitioned write of zero rows
+            # leaves no parquet files) reads back as an empty frame; a
+            # corrupt or partially-deleted run dir must fail loudly
+            msg = str(e)
+            if "UNABLE_TO_INFER_SCHEMA" in msg and os.path.isdir(path):
+                from pyspark.sql.types import StructType
 
-            return spark.createDataFrame([], StructType.fromDDL(schema_str))
+                return spark.createDataFrame([], StructType.fromDDL(schema_str))
+            raise
 
     def read(self, spark: SparkSession, table: str, run_id: str | None = None) -> DataFrame:
         if self.use_iceberg:
@@ -138,6 +159,8 @@ class TableIO:
         VACUUM, app/main.py:395-441; Iceberg analog of expireSnapshots)."""
         import shutil
 
+        if not drop_run_ids:
+            return 0  # empty IN () is invalid SQL on the Iceberg branch
         dropped = 0
         if self.use_iceberg:
             ids = ", ".join(f"'{r}'" for r in drop_run_ids)
@@ -178,7 +201,7 @@ class TableIO:
         """Row-level TTL: delete rows matching a SQL condition (e.g.
         "ts < timestamp'2026-01-01'"). Iceberg: a metadata DELETE; parquet
         fallback: rewrite each run dir filtered, atomic via tmp-dir swap."""
-        from pyspark.sql.functions import expr
+        from pyspark.sql.functions import coalesce, expr, lit
 
         if self.use_iceberg:
             spark.sql(f"DELETE FROM local.db.{table} WHERE {condition}")
@@ -186,9 +209,18 @@ class TableIO:
         import shutil
 
         for r in self._load_manifest(table)["runs"]:
-            kept = spark.read.parquet(r["path"]).filter(~expr(condition))
+            # keep rows where the condition is NOT TRUE: plain ~expr(cond)
+            # would also drop NULL-evaluating rows (e.g. null ts under
+            # "ts < cutoff"), diverging from SQL DELETE's three-valued WHERE
+            kept = spark.read.parquet(r["path"]).filter(
+                ~coalesce(expr(condition), lit(False))
+            )
+            pby = r.get("partition_by") or []
             tmp = r["path"] + ".ttl_tmp"
-            kept.write.mode("overwrite").parquet(tmp)
+            writer = kept.write.mode("overwrite")
+            if pby:
+                writer = writer.partitionBy(*pby)  # preserve the run's layout
+            writer.parquet(tmp)
             old = r["path"] + ".ttl_old"
             os.rename(r["path"], old)
             os.rename(tmp, r["path"])

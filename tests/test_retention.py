@@ -67,3 +67,52 @@ def test_delete_where_ts_cutoff(spark):
     after = io.read(spark, "pipeline_out", "r1")
     assert after.count() == n_keep
     assert after.filter(F.expr(f"ts < {cutoff}")).count() == 0
+
+
+def test_delete_where_keeps_null_condition_rows(spark):
+    """Rows where the condition evaluates to NULL must be KEPT (SQL DELETE
+    three-valued semantics): the parquet fallback and the Iceberg DELETE
+    must agree (round-3 ADVICE fix)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "2026-01-10 00:00:00"), (3, "2026-01-20 00:00:00")],
+        "id int, ts_s string",
+    ).select("id", F.col("ts_s").cast("timestamp").alias("ts"))
+    io = TableIO(tempfile.mkdtemp(prefix="ttl4_"))
+    io.write(df, "t", run_id="r1")
+    io.delete_where(spark, "t", "ts < timestamp'2026-01-15 00:00:00'")
+    kept = sorted(r["id"] for r in io.read(spark, "t", "r1").collect())
+    assert kept == [1, 3]  # null-ts row survives, only the true-match is deleted
+
+
+def test_delete_where_preserves_partition_layout(spark):
+    """The TTL rewrite must keep the run's hive partitioning so read_sink's
+    partition pruning keeps working on the rewritten dir."""
+    import os
+
+    pdf = synth.generate_pandas(10)
+    io = TableIO(tempfile.mkdtemp(prefix="ttl5_"))
+    run_pipeline(spark, spark.createDataFrame(pdf), io=io, run_id="r1")
+    io.delete_where(spark, "pipeline_out", "ts < timestamp'2026-01-10 00:00:00'")
+    run_dir = os.path.join(io.root, "pipeline_out", "run_id=r1")
+    subdirs = {d for d in os.listdir(run_dir) if d.startswith("sink=")}
+    assert "sink=routed_events" in subdirs  # layout survived the rewrite
+    assert io.read_sink(spark, "routed_events", "r1").count() > 0
+
+
+def test_expire_runs_empty_list_noop(spark):
+    io = TableIO(tempfile.mkdtemp(prefix="ttl6_"))
+    io.write(spark.range(3), "t", run_id="r1")
+    assert io.expire_runs(spark, "t", []) == 0
+    assert io.committed_runs("t") == ["r1"]
+
+
+def test_read_raises_on_deleted_run_dir(spark):
+    """A manifest row whose data dir was deleted out-of-band must FAIL the
+    read, not silently return zero rows (round-3 ADVICE fix)."""
+    import shutil
+
+    io = TableIO(tempfile.mkdtemp(prefix="ttl7_"))
+    path = io.write(spark.range(3), "t", run_id="r1")
+    shutil.rmtree(path)
+    with pytest.raises(Exception):
+        io.read(spark, "t", "r1").count()

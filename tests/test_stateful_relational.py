@@ -123,3 +123,35 @@ def test_windowed_growth(spark, pdf):
     mx = pdf["ts"].max()
     want = int((pdf["ts"] >= mx - __import__("pandas").Timedelta(days=1)).sum())
     assert got == want
+
+
+def test_salted_agg_duplicate_heavy_keys(spark):
+    """Duplicate values in the heavy_keys frame must not duplicate fact rows
+    through the broadcast left join (round-3 ADVICE fix)."""
+    from illumio_spark.operators.relational import salted_agg
+
+    df = spark.createDataFrame([("hot", 1)] * 10 + [("cold", 1)] * 3, "k string, v int")
+    heavy = spark.createDataFrame([("hot",), ("hot",)], "k string")  # duplicated
+    out = {
+        r["k"]: (r["n"], r["s"])
+        for r in salted_agg(
+            df, ["k"], {"n": ("count", "*"), "s": ("sum", "v")}, heavy_keys=heavy
+        ).collect()
+    }
+    assert out == {"hot": (10, 10), "cold": (3, 3)}
+
+
+def test_committed_days_propagates_corrupt_manifest(spark, tmp_path):
+    """A corrupt checkpoints manifest must raise, not read as 'no committed
+    days' (which would silently reprocess + duplicate every day)."""
+    import pytest
+
+    from illumio_spark.plans.resume import committed_days
+    from illumio_spark.sources.tableio import TableIO
+
+    io = TableIO(str(tmp_path))
+    io.write(spark.range(2), "checkpoints", run_id="r1")
+    with open(io._manifest_path("checkpoints"), "w") as f:
+        f.write("{not json")
+    with pytest.raises(Exception):
+        committed_days(spark, io).count()
