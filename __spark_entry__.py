@@ -19,6 +19,35 @@ import illumio_spark.queries.catalog_ext  # noqa: F401,E402
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
+# The driver's correctness harness evaluates the FIRST 50 registry entries;
+# keep the registry at ≤ 50 and surface the queries that most need fresh
+# driver rows first (round-2 lesson: 6 entries past the window shipped
+# driver-unverified). tools/selfcheck.py asserts both invariants.
+DRIVER_WINDOW = 50
+PRIORITY = [
+    "p3_audit_projection",
+    "p4_nested_extraction",
+    "p7b_real_map_fold",
+    "sql_q5_local_supplier",
+    "set_intersect_users",
+    "set_except_events",
+    "td_sessionize",
+    "td_decode_stats",
+    "a2b_rollup_delta",
+]
+
+
+def _ordered() -> dict[str, tuple]:
+    missing = [n for n in PRIORITY if n not in QUERIES]
+    assert not missing, f"PRIORITY names missing from registry: {missing}"
+    assert len(QUERIES) <= DRIVER_WINDOW, (
+        f"{len(QUERIES)} queries registered; the driver only checks the "
+        f"first {DRIVER_WINDOW} — fold or retire entries"
+    )
+    out = {n: QUERIES[n] for n in PRIORITY}
+    out.update({n: v for n, v in QUERIES.items() if n not in out})
+    return out
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's parse → enrich → route → aggregate shape
@@ -52,8 +81,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _sql) in QUERIES.items()}
+    return {name: fn for name, (fn, _sql) in _ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
+    return {name: sql for name, (_fn, sql) in _ordered().items() if sql is not None}

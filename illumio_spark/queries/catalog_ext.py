@@ -52,42 +52,36 @@ def a8_running_max_merge(spark, sf_dir):
 @q(
     "s15_head_sample",
     """
-    SELECT source, doc_id, substr(text, 1, 40) AS head FROM (
-        SELECT source, doc_id, text,
+    SELECT source, doc_id, substr(text, 1, 40) AS head,
+           NULLIF(TRIM(lang), '') AS lang_clean, UPPER(source) AS source_uc
+    FROM (
+        SELECT source, doc_id, text, lang,
                ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
         FROM documents
     ) WHERE rn <= 3
     """,
 )
 def s15_head_sample(spark, sf_dir):
-    # reference: first-N lines per folder (s3_analyzer.py:56-131)
+    # reference: first-N lines per folder (S15, s3_analyzer.py:56-131);
+    # the projected columns exercise the P2 safe_get trim-to-null getter +
+    # case normalization (log_processor.py:391-397)
     d = load(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy("doc_id")
     return (
         d.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("source", "doc_id", F.substring("text", 1, 40).alias("head"))
+        .select(
+            "source",
+            "doc_id",
+            F.substring("text", 1, 40).alias("head"),
+            F.nullif(F.trim("lang"), F.lit("")).alias("lang_clean"),
+            F.upper("source").alias("source_uc"),
+        )
     )
 
 
-@q(
-    "s16_rate_monitor",
-    """
-    SELECT bucket_start, CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(COUNT(*) / 21600.0, 6) AS rows_per_sec
-    FROM (SELECT (epoch(ts)::BIGINT // 21600) * 21600 AS bucket_start FROM events)
-    GROUP BY bucket_start
-    """,
-)
-def s16_rate_monitor(spark, sf_dir):
-    # reference: poll-interval file/row rate monitor (s3_analyzer.py:172-304);
-    # epoch-aligned buckets so both engines agree on boundaries
-    ev = load(spark, sf_dir, "events")
-    bucket = (F.unix_timestamp("ts") / 21600).cast("bigint") * 21600
-    return ev.groupBy(bucket.alias("bucket_start")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.count(F.lit(1)) / 21600.0, 6).alias("rows_per_sec"),
-    )
+# (S16's poll-interval rate monitor is covered by a10_s16_rate_monitor in
+# catalog.py — per-class, epoch-aligned interval rates in one groupBy)
 
 
 @q(

@@ -185,6 +185,41 @@ def a11_total_ever(spark, sf_dir):
 
 
 @q(
+    "a2b_rollup_delta",
+    _values_sql(
+        PG.A2B_ROWS,
+        ["run_id", "event_class", "sink", "n_rows", "delta"],
+        ["VARCHAR", "VARCHAR", "VARCHAR", "BIGINT", "BIGINT"],
+    ),
+)
+def a2b_rollup_delta(spark, sf_dir):
+    """A2 delta-since-last-report over the REAL rollups sink history
+    (reference health_reporter.py:245-262 reads its own prior report): two
+    pipeline commits (run1 = days ≤ cutoff, run2 = resumable remainder),
+    then per-class lag() deltas computed from the committed rollups table —
+    the report history as a queryable relation."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from illumio_spark.plans.pipeline import run_pipeline
+    from illumio_spark.plans.resume import run_resumable
+    from illumio_spark.sources.tableio import TableIO
+
+    io = TableIO(tempfile.mkdtemp(prefix="a2b_rollups_"))
+    df = _golden_input(spark)
+    first = df.filter(F.date_format("ts", "yyyy-MM-dd") <= PG.A11_CUTOFF)
+    run_pipeline(spark, first, io=io, run_id="run1")
+    run_resumable(spark, df, io, run_id="run2")
+    roll = io.read(spark, "rollups")
+    w = Window.partitionBy("sink", "event_class").orderBy("run_id")
+    return roll.select(
+        "run_id", "event_class", "sink", "n_rows",
+        (F.col("n_rows") - F.lag("n_rows").over(w)).alias("delta"),
+    ).orderBy("run_id", "sink", "event_class")
+
+
+@q(
     "pipeline_rollup_counts",
     _values_sql(
         PG.ROLLUP_ROWS,

@@ -343,19 +343,10 @@ def td_ann_lsh_topk(spark, sf_dir):
     return SIM.lsh_topk(emb, qs, k=10, n_planes=4).orderBy("qid", "rank")
 
 
-@q(
-    "td_embedding_norms",
-    """
-    SELECT vec_id, ROUND(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) AS l2
-    FROM embeddings WHERE vec_id < 200
-    """,
-)
-def td_embedding_norms(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    return emb.select(
-        "vec_id",
-        F.round(SIM.l2_norm(F.col("embedding").cast("array<double>")), 4).alias("l2"),
-    )
+# (embedding L2 norms are exercised inside td_ann_cosine_topk /
+# td_embedding_neardup via SIM.cosine's norm terms; the standalone norms
+# query was folded away to fit the driver's 50-query gate — SIM.l2_norm
+# stays pytest-covered in tests/test_dedup_similarity.py)
 
 
 def _emb_neardup_sql(n_tables: int = 3, threshold: float = 0.9) -> str:
@@ -454,28 +445,22 @@ def td_token_count(spark, sf_dir):
            CAST(len(string_split_regex(TRIM(text), '\\s+')) AS INTEGER) AS n_words,
            ROUND(CAST(LENGTH(text) AS DOUBLE) / len(string_split_regex(TRIM(text), '\\s+')), 4) AS chars_per_word,
            ROUND(CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-                 / LENGTH(text), 6) AS punct_ratio
-    FROM documents
-    """,
-)
-def td_quality_score(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
-    cols = TX.quality_columns(F.col("text"))
-    return d.select("doc_id", *[c.alias(n) for n, c in cols.items()])
-
-
-@q(
-    "td_stopword_signal",
-    """
-    SELECT doc_id,
+                 / LENGTH(text), 6) AS punct_ratio,
            CAST(len(list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
                 w -> list_contains(['the','a','of','and','to','in','is'], w))) AS INTEGER) AS n_stop
     FROM documents
     """,
 )
-def td_stopword_signal(spark, sf_dir):
+def td_quality_score(spark, sf_dir):
+    # length/word/punctuation quality signals + the stopword-count signal in
+    # one row-level projection (all JVM expressions, zero shuffle)
     d = load(spark, sf_dir, "documents")
-    return d.select("doc_id", TX.stopword_count(F.col("text")).alias("n_stop"))
+    cols = TX.quality_columns(F.col("text"))
+    return d.select(
+        "doc_id",
+        *[c.alias(n) for n, c in cols.items()],
+        TX.stopword_count(F.col("text")).alias("n_stop"),
+    )
 
 
 def _lang_guess_sql() -> str:
@@ -598,29 +583,113 @@ def td_media_sniff(spark, sf_dir):
     )
 
 
-# ---------------------------------------------------------------------------
-# multimodal plumbing (binary columns + typed metadata; decode is a
-# deterministic fake — the image/audio libs aren't in this container)
-# ---------------------------------------------------------------------------
+_DECODE_STATS_SQL = """
+    WITH dims AS (
+        SELECT event_id,
+               event_id % 8 + 1 AS w, event_id % 6 + 1 AS h,
+               (event_id % 50 + 1) * (CASE WHEN event_id % 4 = 1 THEN 1 ELSE 2 END) AS n_samp
+        FROM events WHERE event_id < 800
+    )
+    SELECT event_id,
+           CASE WHEN event_id % 2 = 0 THEN 'png' ELSE 'wav' END AS media_format,
+           CAST(CASE WHEN event_id % 2 = 0 THEN w * h ELSE n_samp END AS BIGINT) AS n_values,
+           CAST(CASE WHEN event_id % 2 = 0
+                THEN list_sum(list_transform(range(0, w * h), p -> (event_id * 7 + p * 13) % 256))
+                ELSE list_sum(list_transform(range(0, n_samp),
+                     j -> ((event_id * 31 + j * 7) % 65536) - 32768))
+                END AS BIGINT) AS val_sum,
+           ROUND(CAST(CASE WHEN event_id % 2 = 0
+                THEN list_sum(list_transform(range(0, w * h), p -> (event_id * 7 + p * 13) % 256))
+                ELSE list_sum(list_transform(range(0, n_samp),
+                     j -> ((event_id * 31 + j * 7) % 65536) - 32768))
+                END AS DOUBLE)
+                / (CASE WHEN event_id % 2 = 0 THEN w * h ELSE n_samp END), 6) AS val_mean
+    FROM dims
+"""
+
+
+@q("td_decode_stats", _DECODE_STATS_SQL)
+def td_decode_stats(spark, sf_dir):
+    """REAL pixel/sample decode, oracle-checked end-to-end: payloads are
+    genuine PNG (zlib IDAT, filter types cycling 0-4 per row) and WAV
+    (PCM16) containers generated from event_id; decode_stats must inflate +
+    unfilter / unpack back EXACTLY the generating values, which the oracle
+    recomputes in closed form. Any bug in the inflate/unfilter/PCM path
+    flips the sum and fails the hash gate."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from illumio_spark.functions.multimodal import (
+        decode_stats,
+        encode_png_gray8,
+        encode_wav_pcm16,
+    )
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 800).select("event_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def payload(i: int) -> bytes:
+            if i % 2 == 0:
+                w, h = i % 8 + 1, i % 6 + 1
+                vals = [(i * 7 + p * 13) % 256 for p in range(w * h)]
+                return encode_png_gray8(w, h, vals)  # filters cycle 0..4
+            ch = 1 if i % 4 == 1 else 2
+            n = (i % 50 + 1) * ch
+            samples = [((i * 31 + j * 7) % 65536) - 32768 for j in range(n)]
+            return encode_wav_pcm16(samples, sample_rate=8000 + i % 40000, channels=ch)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["event_id"], "payload": [payload(int(i)) for i in pdf["event_id"]]}
+            )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return decode_stats(ev.mapInPandas(gen, schema=schema)).select(
+        F.col("doc_id").alias("event_id"),
+        "media_format", "n_values", "val_sum", "val_mean",
+    )
+
+
+# (the former td_multimodal_meta fake-decode query was folded away: header
+# metadata is covered by td_media_sniff above with REAL container parsing,
+# and pixel/sample decode by td_decode_stats below with REAL PNG-inflate /
+# WAV-PCM decoding; decode_meta/frame_sample plumbing stays pytest-covered)
 
 
 @q(
-    "td_multimodal_meta",
+    "td_sessionize",
     """
-    SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CAST(octet_length(encode(text)) % 640 AS INTEGER) AS fake_width,
-           CAST(octet_length(encode(text)) % 480 AS INTEGER) AS fake_height
-    FROM documents
+    SELECT CAST(user_id AS VARCHAR) AS conv_id,
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           CAST(SUM(LENGTH(props)) AS BIGINT) AS n_chars,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM events GROUP BY user_id
     """,
 )
-def td_multimodal_meta(spark, sf_dir):
-    # binary column → mapInPandas "decode" returning typed metadata; the
-    # Spark-side plumbing (schema, batch shape) is real, the decode is a
-    # deterministic fake (see illumio_spark/functions/multimodal.py)
-    from illumio_spark.functions.multimodal import decode_meta
+def td_sessionize(spark, sf_dir):
+    """Per-conversation session rollup via the sessionizer's batch oracle
+    (streaming/stateful.py:113) — the applyInPandasWithState streaming path
+    is asserted equal to this batch path in tests/test_streaming.py /
+    test_stateful_relational.py; here the batch semantics themselves get a
+    cross-engine DuckDB check (events stands in as the turn stream:
+    conv=user_id, text=props)."""
+    from illumio_spark.streaming.stateful import sessionize_batch
 
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("props").alias("text"),
+        "ts",
     )
-    return decode_meta(d)
+    s = sessionize_batch(ev)
+    return s.select(
+        "conv_id",
+        "n_turns",
+        "n_chars",
+        F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )

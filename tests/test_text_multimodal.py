@@ -100,10 +100,45 @@ def test_media_meta_real_headers(spark):
     assert all(out[i].n_bytes == len(rows[i][1]) for i in range(5))
 
 
-def test_decode_pixels_is_explicit_stub(spark):
-    df = spark.createDataFrame([(0, bytearray(b"x"))], "doc_id long, payload binary")
+def test_png_roundtrip_all_filters():
+    """Encode→decode must be identity for every PNG scanline filter type —
+    the decoder's unfilter paths (None/Sub/Up/Average/Paeth) all exercised."""
+    w, h = 7, 10  # 10 rows → default filter cycle hits 0..4 twice
+    pixels = [(x * 13 + 7) % 256 for x in range(w * h)]
+    for rf in [None, lambda y: 0, lambda y: 1, lambda y: 2, lambda y: 3, lambda y: 4]:
+        b = MM.encode_png_gray8(w, h, pixels, row_filter=rf)
+        assert MM.decode_png_gray8(b) == pixels
+
+
+def test_wav_roundtrip():
+    samples = [((k * 7919) % 65536) - 32768 for k in range(101 * 2)]
+    b = MM.encode_wav_pcm16(samples, sample_rate=16000, channels=2)
+    assert MM.decode_wav_pcm16(b) == samples
+    fmt, vals = MM.decode_values(b)
+    assert fmt == "wav" and vals == samples
+
+
+def test_decode_values_gif_jpeg_stub_unknown_none():
     with pytest.raises(NotImplementedError):
-        MM.decode_pixels(df)
+        MM.decode_values(_gif(10, 10))
+    with pytest.raises(NotImplementedError):
+        MM.decode_values(_jpeg(10, 10))
+    assert MM.decode_values(b"just some text bytes") == ("unknown", None)
+
+
+def test_decode_stats_df(spark):
+    pixels = list(range(12))
+    png = MM.encode_png_gray8(4, 3, pixels)
+    wav = MM.encode_wav_pcm16([100, -100, 50], 8000, 1)
+    df = spark.createDataFrame(
+        [(0, bytearray(png)), (1, bytearray(wav)), (2, None)],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in MM.decode_stats(df).collect()}
+    assert (out[0].media_format, out[0].n_values, out[0].val_sum) == ("png", 12, sum(pixels))
+    assert (out[1].media_format, out[1].n_values, out[1].val_sum) == ("wav", 3, 50)
+    assert out[1].val_mean == pytest.approx(50 / 3, abs=1e-6)
+    assert out[2].media_format is None and out[2].n_values is None
 
 
 def test_decode_meta(payloads):

@@ -83,6 +83,12 @@ def main():
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    # driver-window guard: every registered query must land inside the
+    # driver's 50-entry correctness gate, priority queries first
+    names = list(qs)
+    assert len(names) <= entry_mod.DRIVER_WINDOW, f"{len(names)} > driver window"
+    assert names[: len(entry_mod.PRIORITY)] == entry_mod.PRIORITY, "priority order broken"
+    print(f"registry: {len(names)} queries (window {entry_mod.DRIVER_WINDOW}), priority-first OK")
     n_pass = n_fail = n_rowsonly = 0
     failures = []
     for name, fn in qs.items():
