@@ -123,7 +123,8 @@ def simhash(text: Column) -> Column:
 
 
 def simhash_blocks_df(
-    df, id_col: str = "doc_id", text_col: str = "text", n_blocks: int = SIMHASH_BLOCKS
+    df, id_col: str = "doc_id", text_col: str = "text", n_blocks: int = SIMHASH_BLOCKS,
+    hash_fn: str = "md5",
 ):
     """(id, b0..b3) via explode + codegen'd SUMs — the 100 TB path.
 
@@ -133,21 +134,43 @@ def simhash_blocks_df(
     whole-stage-codegen HashAggregate: partial aggregation collapses each
     doc to one row map-side, so the shuffle moves only (id, 64 ints).
     Identical signatures by construction (pytest-asserted vs the column
-    version and the DuckDB oracle)."""
-    toks = F.filter(
-        F.array_distinct(F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")),
-        lambda t: t != "",
-    )
+    version and the DuckDB oracle).
+
+    hash_fn='md5' (default): token bits from the md5 hex prefix — what the
+    DuckDB oracle reproduces. hash_fn='xxhash64' (engine-internal fast
+    path): bits straight off one xxhash64 long — no hex substring/conv
+    string work per token (near-dup pair outputs pytest-asserted identical
+    on the golden corpus).
+
+    Token dedup happens AFTER a codegen'd explode (distinct on (id, token))
+    rather than via array_distinct + an interpreted F.filter lambda over
+    the array — per-row HOFs cost ~24 µs/element on this box (the minhash
+    shingle-build lesson); '' maps to null so zero-token docs survive the
+    explode with null sums → all-zero blocks, same as the array version."""
     # explode_outer keeps zero-token docs (null token → null sums → blocks 0)
-    t = df.select(id_col, F.explode_outer(toks).alias("tok"))
-    h = F.substring(F.md5(F.col("tok")), 1, 16)
+    t = df.select(
+        id_col,
+        F.explode_outer(
+            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+        ).alias("__rawtok"),
+    )
+    t = t.select(id_col, F.nullif(F.col("__rawtok"), F.lit("")).alias("tok")).distinct()
     sums, names = [], []
-    for p in range(1, 17):  # hex char, MSB-first
-        nib = F.conv(F.substring(h, p, 1), 16, 10).cast("int")
-        for j in (3, 2, 1, 0):  # bit within nibble, MSB-first
-            name = f"__s{(p - 1) * 4 + (3 - j)}"
-            sums.append(F.sum(F.shiftright(nib, j).bitwiseAND(F.lit(1))).alias(name))
+    if hash_fn == "xxhash64":
+        hl = F.xxhash64(F.col("tok"))
+        for i in range(64):  # MSB-first
+            name = f"__s{i}"
+            bit = F.shiftright(hl, 63 - i).bitwiseAND(F.lit(1)).cast("int")
+            sums.append(F.sum(bit).alias(name))
             names.append(name)
+    else:
+        h = F.substring(F.md5(F.col("tok")), 1, 16)
+        for p in range(1, 17):  # hex char, MSB-first
+            nib = F.conv(F.substring(h, p, 1), 16, 10).cast("int")
+            for j in (3, 2, 1, 0):  # bit within nibble, MSB-first
+                name = f"__s{(p - 1) * 4 + (3 - j)}"
+                sums.append(F.sum(F.shiftright(nib, j).bitwiseAND(F.lit(1))).alias(name))
+                names.append(name)
     agg = t.groupBy(id_col).agg(F.count(F.col("tok")).alias("__n"), *sums)
 
     blocks = []

@@ -132,10 +132,11 @@ LSH_PAIRS_SQL = f"""
 
 @q("td_minhash_lsh_pairs", LSH_PAIRS_SQL)  # fully cross-engine-checked (md5 minhash)
 def td_minhash_lsh_pairs(spark, sf_dir):
+    # hash_fn='md5' so DuckDB reproduces the exact signatures; the engine
+    # default at scale is hash_fn='xxhash64' (same pairs, ~2-3× cheaper —
+    # bench.py measures that path, pytest asserts pair-set equality)
     corpus = _neardup_corpus(spark, sf_dir)
-    sigs = D.minhash_signatures_df(corpus, n_hashes=D.N_MINHASH)
-    sigs = sigs.select("doc_id", *[c for c in sigs.columns if c != "doc_id"], *D.lsh_bands())
-    return D.lsh_candidate_pairs(sigs).orderBy("id_a", "id_b")
+    return D.minhash_lsh_pairs(corpus, hash_fn="md5").orderBy("id_a", "id_b")
 
 
 @q(
@@ -216,46 +217,14 @@ def _simhash_neardup_sql(corpus_sql: str, max_hamming: int = 3) -> str:
 
 @q("td_simhash_neardup", _simhash_neardup_sql(_NEARDUP_SQL_CORPUS))
 def td_simhash_neardup(spark, sf_dir):
-    """Banded simhash near-dup: signature as 4×16-bit blocks, candidate
-    pairs via equi-join on (block_idx, block_value) — pigeonhole guarantees
-    every pair at hamming ≤ 3 shares a block, so the output equals the
-    all-pairs join without the O(n²) BroadcastNestedLoopJoin. The
-    repartition after the signature select is an Exchange barrier so
-    projection collapse can't re-inline the md5 vote expressions into the
-    4-way stack."""
-    import functools
-    import operator
-
+    """Banded simhash near-dup (operators/dedup.simhash_neardup_pairs):
+    explode+codegen md5-bit-vote signature (the interpreted per-row HOF
+    variant measured 34 s vs ~2 s on 5k docs), 4×16-bit block equi-join —
+    never an O(n²) BroadcastNestedLoopJoin (plan-asserted). md5 so the
+    DuckDB oracle reproduces the exact signature; xxhash64 is the engine
+    default at scale (bench.py path, pair-set equality pytest-asserted)."""
     corpus = _neardup_corpus(spark, sf_dir)
-    # explode+codegen signature builder (simhash_blocks_df): whole-stage
-    # HashAggregate with map-side partial agg — the interpreted per-row HOF
-    # variant measured 34 s vs ~2 s on 5k docs
-    sigs = TX.simhash_blocks_df(corpus).repartition("doc_id")
-    long = sigs.selectExpr(
-        "doc_id", "b0", "b1", "b2", "b3",
-        "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) as (block_idx, block_val)",
-    )
-    a, b = long.alias("a"), long.alias("b")
-    hamming = functools.reduce(
-        operator.add,
-        [F.bit_count(F.col(f"a.b{k}").bitwiseXOR(F.col(f"b.b{k}")).cast("long")) for k in range(4)],
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.block_idx") == F.col("b.block_idx"))
-            & (F.col("a.block_val") == F.col("b.block_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            hamming.cast("int").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 3)
-        .distinct()
-        .orderBy("id_a", "id_b")
-    )
+    return D.simhash_neardup_pairs(corpus, max_hamming=3, hash_fn="md5").orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------

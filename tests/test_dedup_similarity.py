@@ -118,3 +118,90 @@ def test_lsh_topk_recall(emb):
     # multi-table probing must catch the near-dup pair even when one table
     # splits it across a hyperplane boundary
     assert (0, 1) in approx_set
+
+
+@pytest.fixture(scope="module")
+def neardup_corpus(spark):
+    """Golden-style corpus: varied base docs + injected exact/near dups —
+    the shape the td_* bench/driver queries run on."""
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(300)]
+    rows = []
+    for i in range(120):
+        n = rng.randint(40, 80)
+        rows.append((i, " ".join(rng.choice(words) for _ in range(n))))
+    # near dups with shingle-jaccard ≳ 0.85 — clearly above the 2-rows ×
+    # 4-bands LSH threshold, so BOTH hash backends must surface them.
+    # (Borderline-jaccard pairs may legitimately differ between hash
+    # backends — LSH candidate membership is hash-dependent at the margin;
+    # downstream jaccard/hamming verification absorbs that.)
+    for i in range(25):
+        rows.append((1000000 + i, rows[i][1] + " zq"))
+    for i in range(25, 40):  # exact dups
+        rows.append((1000000 + i, rows[i][1]))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_lsh_xxhash64_same_pairs(neardup_corpus):
+    """The engine-internal xxhash64 fast path must find the same near-dup
+    pair set as the oracle-parity md5 path on the golden-style corpus."""
+    md5_pairs = {(r.id_a, r.id_b) for r in D.minhash_lsh_pairs(neardup_corpus, hash_fn="md5").collect()}
+    xx_pairs = {(r.id_a, r.id_b) for r in D.minhash_lsh_pairs(neardup_corpus, hash_fn="xxhash64").collect()}
+    assert (0, 1000000) in xx_pairs  # near dup found
+    assert (25, 1000025) in xx_pairs  # exact dup found
+    assert xx_pairs == md5_pairs
+
+
+def test_simhash_neardup_xxhash64_backend(neardup_corpus):
+    """SimHash signatures are defined BY the chosen hash, so near-dup pairs
+    at the hamming margin legitimately differ between backends. What both
+    backends must guarantee: exact dups at hamming 0, zero false positives
+    among unrelated docs, and high recall on the injected near dups."""
+    md5_pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.simhash_neardup_pairs(neardup_corpus, hash_fn="md5").collect()
+    }
+    xx_pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.simhash_neardup_pairs(neardup_corpus, hash_fn="xxhash64").collect()
+    }
+    exact = {(i, 1000000 + i) for i in range(25, 40)}
+    near = {(i, 1000000 + i) for i in range(25)}
+    for pairs in (md5_pairs, xx_pairs):
+        assert all(pairs.get(p) == 0 for p in exact)  # exact dups: hamming 0, any hash
+        assert set(pairs) <= exact | near  # no false positives across random docs
+        # one-token perturbation flips ~3-4 of 64 bits in expectation, so
+        # hamming<=3 recall caps ~70% — the bound checks both backends sit
+        # there, not that simhash is a perfect near-dup detector
+        assert len(set(pairs) & near) >= 0.6 * len(near)
+
+
+def test_minhash_explode_path_equals_column_path(docs, spark):
+    """The explode+codegen signature builder must produce the IDENTICAL
+    md5 signatures as the per-row array_min(transform(...)) column version
+    (and both equal the DuckDB oracle, via selfcheck), including null
+    signatures for docs with fewer than k tokens."""
+    docs2 = docs.union(spark.createDataFrame([(9, ""), (10, "one two")], "doc_id long, text string"))
+    col_ver = {
+        r.doc_id: (r.mh0, r.mh1, r.mh2, r.mh3)
+        for r in docs2.select(
+            "doc_id", *D.minhash_signature(D.word_shingles(F.col("text"), 3), 4)
+        ).collect()
+    }
+    df_ver = {
+        r.doc_id: (r.mh0, r.mh1, r.mh2, r.mh3)
+        for r in D.minhash_signatures_df(docs2, n_hashes=4).collect()
+    }
+    assert df_ver == col_ver
+    assert df_ver[9] == (None, None, None, None)  # empty text → null signature
+    assert df_ver[10] == (None, None, None, None)  # < k tokens → null signature
+
+
+def test_minhash_xxhash64_null_for_empty_docs(spark):
+    """xxhash64 hashes a bare salt when the input is null — the fast path
+    must still yield null signatures for shingle-less docs."""
+    df = spark.createDataFrame([(0, ""), (1, "a b c d")], "doc_id long, text string")
+    out = {r.doc_id: r.mh0 for r in D.minhash_signatures_df(df, n_hashes=2, hash_fn="xxhash64").collect()}
+    assert out[0] is None and out[1] is not None
