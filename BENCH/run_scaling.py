@@ -38,6 +38,23 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def disk_probe_mb_s(size_mb: int = 256) -> float:
+    """Sequential write throughput of the shared disk RIGHT NOW. The box's
+    disk is host-shared and its available bandwidth swings >40× between
+    sessions (measured 721 MB/s … 16 MB/s); e2e numbers are only
+    interpretable alongside the disk state they ran under."""
+    buf = os.urandom(size_mb * 1024 * 1024)
+    path = os.path.join(tempfile.gettempdir(), "scaling_io_probe.bin")
+    t0 = time.time()
+    with open(path, "wb") as f:
+        f.write(buf)
+        f.flush()
+        os.fsync(f.fileno())
+    dt = time.time() - t0
+    os.remove(path)
+    return size_mb / dt
+
+
 def worker(cpus: int, n_conv: int, measured_runs: int, mode: str) -> None:
     from illumio_spark.session import build_session
     from illumio_spark.plans.pipeline import (
@@ -93,6 +110,7 @@ def main() -> None:
         return
 
     levels = [int(x) for x in args.levels.split(",")]
+    disk_before = disk_probe_mb_s()
     results: dict[str, dict] = {"e2e": {}, "compute": {}}
     for mode in ["e2e", "compute"]:
         for cpus in levels:
@@ -115,6 +133,7 @@ def main() -> None:
                 out.append({"n": lo, "n4": hi, "efficiency": round((tp[hi] / tp[lo]) / 4, 3)})
         return out
 
+    disk_after = disk_probe_mb_s()
     tp = {m: {c: r["n_turns"] / r["sec"] for c, r in results[m].items()} for m in results}
     pairs = {m: pairs_of(m) for m in results}
     n_turns = results["e2e"][levels[0]]["n_turns"]
@@ -130,6 +149,7 @@ def main() -> None:
         "target": 0.8,
         "pass_compute": any(p["efficiency"] >= 0.8 for p in pairs["compute"]),
         "pass_e2e": any(p["efficiency"] >= 0.8 for p in pairs["e2e"]),
+        "disk_mb_s": {"before": round(disk_before), "after": round(disk_after)},
     }
     print(json.dumps(summary))
 
@@ -175,6 +195,47 @@ real multi-executor hardware, where each executor brings its own memory
 bus and disks.
 """
 
+    attr_section = ""
+    attr_path = os.path.join(REPO, "BENCH", "stage_attribution.json")
+    if os.path.exists(attr_path):
+        with open(attr_path) as f:
+            at = json.load(f)
+        lo, hi = at["levels"]
+        srows = "\n".join(
+            f"| {s['stage']} | {s[f'tasks{lo}']}/{s[f'tasks{hi}']} | {s[f'wall{lo}']} | "
+            f"{s[f'wall{hi}']} | {s['efficiency']} | {s[f'cpu{lo}']} | {s[f'cpu{hi}']} | "
+            f"{s[f'gc_pct{hi}']}% |"
+            for s in at["stages"]
+        )
+        slo, shi = at["stats"][str(lo)], at["stats"][str(hi)]
+        attr_section = f"""
+### Per-stage attribution of the {lo}→{hi} residue (`BENCH/stage_profile.py`)
+
+Event-log stage metrics for the compute-mode job, warm pass, {lo} vs {hi}
+cores (one JVM each):
+
+| stage | tasks {lo}/{hi} | wall{lo} (s) | wall{hi} (s) | efficiency | task-CPU{lo} (s) | task-CPU{hi} (s) | gc%{hi} |
+|---|---|---|---|---|---|---|---|
+{srows}
+
+Whole job: per-core utilization **{slo['utilization']:.1%} at {lo}** vs
+**{shi['utilization']:.1%} at {hi}** cores; scheduler gap {slo['gap_s']}s vs
+{shi['gap_s']}s; GC {slo['gc_s']}s vs {shi['gc_s']}s. Utilization is flat and
+gaps/GC are marginal, so NO stage stops scaling for plan reasons: the whole
+efficiency loss is **per-task CPU inflation ×{at['cpu_inflation']}** — the
+same work costs {at['cpu_inflation']}× more CPU-seconds with {hi} active
+threads than with {lo}. That is hardware contention (shared memory
+bandwidth/LLC on this single-socket VM; the guest reports 32 cores but
+cannot see host-level sharing), the same effect the plan-free hw_ceiling
+probes show (their inflation bounds: ×{1 / 0.779:.2f} ALU, ×{1 / 0.677:.2f}
+string-alloc); this job's parse→format stage allocates ~1 KB strings per
+turn plus parquet decode and shuffle buffers, so its bandwidth footprint —
+and hence inflation — sits above the 200-char md5 probe. On a real
+multi-executor cluster 4× executors bring 4× memory buses, the inflation
+term disappears, and the in-bandwidth-envelope pair (2→8: compute
+{pairs["compute"][0]['efficiency']:.3f}) is the representative number.
+"""
+
     best_tp = max(tp["e2e"].values())
     md = f"""# BENCH — scaling & throughput baseline
 
@@ -210,12 +271,18 @@ below measure alongside the plan. Compute-only is the honest cluster proxy.
 |---|---|---|
 {pairs_md("e2e")}
 
+Shared-disk state during this measurement session (sequential write,
+fsync'd): **{disk_before:,.0f} MB/s before / {disk_after:,.0f} MB/s after**.
+The disk is host-shared and swings >40× between sessions (721 MB/s at the
+round-1 measurement vs 16 MB/s observed during a contended window); e2e
+throughput and the e2e high-core pair move with it, compute numbers do not.
+
 The e2e gap vs compute is the shared single disk + single-box memory
 bandwidth for ~GBs of string assembly — per-executor resources on a real
 cluster. The plan itself has no serial choke point: one narrow-input
 shuffle, order-preserving map stages, broadcast-only joins, partitioned
 single-job sink write, rollups via observe.
-{hw_section}
+{hw_section}{attr_section}
 ## Reference comparison
 
 The reference (paraserv/illumio) is rate-capped at 250–1,000 msg/s
