@@ -73,6 +73,23 @@ def bench_overrides() -> dict:
     }
 
 
+def disk_probe_mb_s(size_mb: int = 128) -> float:
+    """Sequential fsync'd write throughput of the shared disk right now.
+    The disk is host-shared and swings >40× between sessions (measured
+    721 MB/s … 16 MB/s); pipeline_e2e writes its sinks through it, so the
+    number is only interpretable alongside this probe."""
+    buf = os.urandom(size_mb * 1024 * 1024)
+    path = os.path.join(tempfile.gettempdir(), "bench_io_probe.bin")
+    t0 = time.time()
+    with open(path, "wb") as f:
+        f.write(buf)
+        f.flush()
+        os.fsync(f.fileno())
+    dt = time.time() - t0
+    os.remove(path)
+    return size_mb / dt
+
+
 def sf_of(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     return float(m.group(1)) if m else 0.1
@@ -132,6 +149,7 @@ def main():
 
     queries: dict[str, float] = {}
 
+    disk_mb_s = round(disk_probe_mb_s())
     elapsed, n_turns = bench_pipeline(spark, sf)
     queries["pipeline_e2e"] = round(elapsed, 3)
     turns_per_sec = n_turns / elapsed
@@ -155,6 +173,7 @@ def main():
                 "pipeline_turns": n_turns,
                 "pipeline_turns_per_sec": round(turns_per_sec, 1),
                 "cpus": int(cpus),
+                "disk_mb_s": disk_mb_s,
             }
         )
     )

@@ -108,13 +108,42 @@ def lsh_bucket_pandas(vec, n_planes: int, dim: int, seed: int) -> "F.Column":
     return pandas_udf(_bucket, T.LongType())(vec)
 
 
+def lsh_buckets_pandas_multi(vec, n_planes: int, dim: int, seeds: list[int]) -> "F.Column":
+    """ALL tables' buckets in ONE Arrow round: (batch × dim) @ (dim ×
+    planes·tables) matmul, sign bits packed per table → array<long>.
+
+    Identical buckets to per-table lsh_bucket_column (same seeded planes,
+    sign test on the same doubles — pytest-asserted); used when the
+    combined literal plan would be huge (tables × planes × dim expression
+    nodes slow analysis/codegen far more than one vectorized UDF)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    stacked = np.concatenate([hyperplanes(dim, n_planes, s) for s in seeds]).T  # (dim, P·L)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def _buckets(v):
+        mat = np.asarray(v.tolist(), dtype=np.float64)  # (batch, dim)
+        bits = (mat @ stacked) > 0  # (batch, P·L)
+        per_table = bits.reshape(len(mat), len(seeds), n_planes) @ weights  # (batch, L)
+        return pd.Series(list(per_table))
+
+    return pandas_udf(_buckets, T.ArrayType(T.LongType()))(vec)
+
+
 def _bucketed_long(df: DataFrame, id_alias: str, vec_alias: str,
                    n_planes: int, dim: int, n_tables: int) -> DataFrame:
     """(id, vec) → exploded (id, vec, table_idx, bucket) over L hash tables."""
     v = F.col(vec_alias)
-    buckets = F.array(
-        *[lsh_bucket_column(v, n_planes, dim, LSH_SEED + t) for t in range(n_tables)]
-    )
+    if n_tables * n_planes * dim > LSH_LITERAL_BUDGET:
+        buckets = lsh_buckets_pandas_multi(
+            v, n_planes, dim, [LSH_SEED + t for t in range(n_tables)]
+        )
+    else:
+        buckets = F.array(
+            *[lsh_bucket_column(v, n_planes, dim, LSH_SEED + t) for t in range(n_tables)]
+        )
     return df.select(
         id_alias, vec_alias, F.posexplode(buckets).alias("tbl", "bucket")
     )

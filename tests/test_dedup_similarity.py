@@ -205,3 +205,22 @@ def test_minhash_xxhash64_null_for_empty_docs(spark):
     df = spark.createDataFrame([(0, ""), (1, "a b c d")], "doc_id long, text string")
     out = {r.doc_id: r.mh0 for r in D.minhash_signatures_df(df, n_hashes=2, hash_fn="xxhash64").collect()}
     assert out[0] is None and out[1] is not None
+
+
+def test_multi_table_pandas_buckets_agree(emb):
+    """The single-UDF all-tables matmul path must assign the same
+    (table, bucket) rows as the per-table JVM literal-fold path."""
+    from illumio_spark.operators.similarity import LSH_SEED, _bucketed_long
+    import illumio_spark.operators.similarity as S
+
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    jvm = {(r.vec_id, r.tbl, r.bucket)
+           for r in _bucketed_long(base, "vec_id", "v", 4, 16, 3).collect()}
+    old = S.LSH_LITERAL_BUDGET
+    S.LSH_LITERAL_BUDGET = 0  # force the multi-table pandas path
+    try:
+        np_rows = {(r.vec_id, r.tbl, r.bucket)
+                   for r in _bucketed_long(base, "vec_id", "v", 4, 16, 3).collect()}
+    finally:
+        S.LSH_LITERAL_BUDGET = old
+    assert np_rows == jvm
