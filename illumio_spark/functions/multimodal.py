@@ -380,11 +380,14 @@ def decode_stats(df: DataFrame) -> DataFrame:
 
 
 def embed_stub(df: DataFrame, dim: int = 8) -> DataFrame:
-    """Feature-extraction stub: payload → fixed-dim float vector.
+    """Feature-extraction stub: binary payload → fixed-dim float vector.
 
-    STUB: a real model would run here (torch not in container). The fake
-    embedding is a deterministic byte-histogram projection so tests can
-    assert shape + determinism."""
+    STUB: a real vision/audio model would run here (torch not in
+    container). The fake embedding is a deterministic byte-histogram
+    projection so tests can assert shape + determinism. For TEXT columns
+    no stub is needed — operators/similarity.hashing_embed is a REAL
+    (feature-hashing) embedder whose output feeds lsh_topk /
+    lsh_neardup_pairs end-to-end."""
     import numpy as np
 
     schema = T.StructType(

@@ -254,3 +254,57 @@ def lsh_neardup_pairs(
         .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
         .select("id_a", "id_b")
     )
+
+
+def hashing_embed(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+) -> DataFrame:
+    """REAL text embedding via the hashing trick (feature hashing / signed
+    hashing vectorizer — Weinberger et al. 2009): token → xxhash64 bucket,
+    second independent hash picks ±1 sign, per-bucket signed counts,
+    l2-normalized dense vector. No model weights needed, fully
+    deterministic, and the output feeds lsh_neardup_pairs / lsh_topk
+    directly — raw text → embedding → ANN end-to-end without the fake
+    embed_stub.
+
+    Scale shape: explode tokens (codegen) → ONE groupBy(id, bucket) with
+    map-side partial sums → ONE groupBy(id) assembling the dense vector
+    from a (bucket → weight) map; the only HOF work is dim evaluations per
+    DOC (not per token), negligible at any corpus size. Docs with zero
+    tokens embed as the zero vector (cosine against it is NULL — callers
+    treat that as 'no signal', same as a dead letter)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+        ).alias("__tok"),
+    ).select(id_col, F.nullif(F.col("__tok"), F.lit("")).alias("__tok"))
+    bucket = F.pmod(F.xxhash64(F.col("__tok")), F.lit(dim))
+    sign = F.when(F.pmod(F.xxhash64(F.lit("sign"), F.col("__tok")), F.lit(2)) == 0, 1.0).otherwise(-1.0)
+    weights = (
+        toks.withColumn("__b", F.when(F.col("__tok").isNotNull(), bucket))
+        .withColumn("__w", F.when(F.col("__tok").isNotNull(), sign))
+        .groupBy(id_col, "__b")
+        .agg(F.sum("__w").alias("__w"))
+    )
+    assembled = weights.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.filter(
+                F.collect_list(F.struct(F.col("__b").alias("k"), F.col("__w").alias("v"))),
+                lambda e: e["k"].isNotNull(),
+            )
+        ).alias("__m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.col("__m")[i.cast("long")], F.lit(0.0)),
+    )
+    withv = assembled.select(id_col, dense.alias("__raw"))
+    norm = l2_norm(F.col("__raw"))
+    unit = F.when(
+        norm > 0, F.transform(F.col("__raw"), lambda x: x / norm)
+    ).otherwise(F.col("__raw"))
+    return withv.select(id_col, unit.alias("embedding"))

@@ -224,3 +224,33 @@ def test_multi_table_pandas_buckets_agree(emb):
     finally:
         S.LSH_LITERAL_BUDGET = old
     assert np_rows == jvm
+
+
+def test_hashing_embed_text_to_ann_end_to_end(neardup_corpus, spark):
+    """Raw text → REAL hashing-trick embedding → calibrated LSH near-dup:
+    the injected near-duplicate texts must surface as high-cosine pairs
+    with zero false positives among unrelated random docs."""
+    emb = SIM.hashing_embed(neardup_corpus, dim=64)
+    row = emb.filter(F.col("doc_id") == 0).first()
+    assert len(row["embedding"]) == 64
+    assert abs(sum(x * x for x in row["embedding"]) - 1.0) < 1e-9  # unit norm
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in SIM.lsh_neardup_pairs(
+            emb, "doc_id", "embedding", threshold=0.9, n_planes=8, dim=64, n_tables=9
+        ).collect()
+    }
+    exact = {(i, 1000000 + i) for i in range(25, 40)}
+    near = {(i, 1000000 + i) for i in range(25)}
+    assert exact <= pairs  # exact dup texts → identical embeddings → cos 1
+    assert len(pairs & near) >= 0.9 * len(near)  # one-token perturbation
+    assert pairs <= exact | near  # random docs never reach cos 0.9
+
+
+def test_hashing_embed_deterministic_and_empty(spark):
+    df = spark.createDataFrame([(0, "a b a c"), (1, ""), (2, None)], "doc_id long, text string")
+    out1 = {r.doc_id: r.embedding for r in SIM.hashing_embed(df, dim=8).collect()}
+    out2 = {r.doc_id: r.embedding for r in SIM.hashing_embed(df, dim=8).collect()}
+    assert out1 == out2  # deterministic
+    assert out1[1] == [0.0] * 8 and out1[2] == [0.0] * 8  # zero-token → zero vector
