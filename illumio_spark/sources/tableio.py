@@ -142,11 +142,14 @@ class TableIO:
         if not runs:
             raise FileNotFoundError(f"no committed runs for table {table}")
         # per-run reads unioned so hive-style partition discovery (e.g. the
-        # `sink` column) resolves against each run's own base path
+        # `sink` column) resolves against each run's own base path;
+        # allowMissingColumns = schema evolution across runs (a run written
+        # after a column was added still unions with older runs — missing
+        # columns read as null, Iceberg's add-column semantics)
         dfs = [self._read_run_path(spark, r["path"], r["schema"]) for r in runs]
         out = dfs[0]
         for d in dfs[1:]:
-            out = out.unionByName(d)
+            out = out.unionByName(d, allowMissingColumns=True)
         return out
 
     def committed_runs(self, table: str) -> list[str]:

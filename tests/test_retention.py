@@ -116,3 +116,18 @@ def test_read_raises_on_deleted_run_dir(spark):
     shutil.rmtree(path)
     with pytest.raises(Exception):
         io.read(spark, "t", "r1").count()
+
+
+def test_schema_evolution_across_runs(spark):
+    """A column added in a later run must not break multi-run reads: older
+    runs surface the new column as null (Iceberg add-column semantics on
+    the parquet fallback)."""
+    io = TableIO(tempfile.mkdtemp(prefix="evo_"))
+    io.write(spark.createDataFrame([(1, "a")], "id int, v string"), "t", run_id="r1")
+    io.write(
+        spark.createDataFrame([(2, "b", 9.5)], "id int, v string, score double"),
+        "t",
+        run_id="r2",
+    )
+    rows = {r["id"]: (r["v"], r["score"]) for r in io.read(spark, "t").collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
