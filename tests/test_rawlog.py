@@ -79,3 +79,43 @@ def test_malformed_raw_lines_dead_letter(spark, tmp_path):
     assert len(dead) == 1
     assert dead[0].conv_id == "__raw_invalid__"
     assert dead[0].raw_text == "garbage line"
+
+
+def test_gz_roundtrip_hostile_text(spark, tmp_path):
+    """The gz-NDJSON wire format must round-trip ANY text payload —
+    including literal newlines, pipes, quotes, backslashes, and unicode —
+    because the writer JSON-escapes per line and read_raw_gz's from_json
+    unescapes symmetrically. Byte equality per (conv_id, turn_idx)."""
+    import pandas as pd
+
+    hostile = [
+        "line with\nembedded newline",
+        "tab\tand\rcarriage",
+        'quotes "double" and \'single\'',
+        "back\\slash and pipe|and=equals",
+        "naïve — ünïcödé ✓ 中文 😀",
+        "",
+        None,
+        "x" * 5000,
+        '{"nested": "json in text", "n": [1,2]}',
+    ]
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c-{i}" for i in range(len(hostile))],
+            "turn_idx": range(len(hostile)),
+            "role": ["user"] * len(hostile),
+            "text": hostile,
+            "tool": [None] * len(hostile),
+            "ts": [pd.Timestamp("2026-01-05 08:00:00")] * len(hostile),
+        }
+    )
+    write_gz_fixture(pdf, str(tmp_path))
+    back = (
+        read_raw_gz(spark, str(tmp_path) + "/*.ndjson.gz")
+        .orderBy("turn_idx")
+        .select("conv_id", "turn_idx", "text")
+        .collect()
+    )
+    assert len(back) == len(hostile)
+    for r, want in zip(back, hostile):
+        assert r["text"] == want, f"turn {r['turn_idx']}: {r['text']!r} != {want!r}"
