@@ -20,9 +20,26 @@ from illumio_spark import schema as S
 
 _ORIG_PREFIX_LEN = len("|original_message=")  # 18
 
+# Python str.strip()'s exact whitespace set (chars where str.isspace() is
+# True), as a Java regex character class. The reference's safe_get strips
+# with str.strip() (app/log_processor.py:391-397), which removes Unicode
+# whitespace — NBSP, NEL, ogham/space-separator block, \x1c-\x1f — while
+# Spark's F.trim removes ASCII space only; fuzzing caught the divergence
+# on a \xa0-prefixed field value.
+_PY_WS = (
+    "\\t\\n\\x0B\\f\\r\\x1C-\\x1F \\x85\\xA0\\u1680"
+    "\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000"
+)
+_PY_STRIP_RE = f"^[{_PY_WS}]+|[{_PY_WS}]+$"
+
+
+def py_strip(c: Column) -> Column:
+    """Python str.strip() semantics as a JVM expression."""
+    return F.regexp_replace(c, _PY_STRIP_RE, "")
+
 
 def _clean(c: Column) -> Column:
-    return F.nullif(F.trim(c), F.lit(""))
+    return F.nullif(py_strip(c), F.lit(""))
 
 
 def siem_field_columns() -> dict[str, Column]:

@@ -39,12 +39,31 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from illumio_spark import schema as S
+from illumio_spark.functions.format import py_strip
 
 SUMMARY_COLS = [f"s_{f}" for f in S.SUMMARY_TEXT_FIELDS]
 
 # Java regex variant of the summary grok pattern: Java named groups forbid
 # underscores, and extraction is by index anyway — strip the (?P<name> names
+# Java-regex port of the oracle's Python pattern. Three deltas matter:
+#   - named groups: Java has no (?P<name>) — strip to positional
+#   - \S: Python's \s is the str.isspace() set (incl. \x1c-\x1f, NEL, NBSP,
+#     space-separator block); Java's is ASCII-only, so a \x1c inside an
+#     act/sn token matched Java-\S+ but broke the Python match — the row
+#     routed on one engine and dead-lettered on the other (fuzz-caught)
+#   - \d: Python's is any Unicode decimal digit (\p{Nd}); Java's is ASCII
+_PY_WS_CLASS = (
+    "\\t\\n\\x0B\\f\\r\\x1C-\\x1F \\x85\\xA0\\u1680"
+    "\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000"
+)
+#   - '.': Java's dot excludes every line terminator (CR, NEL U+0085,
+#     LS U+2028, PS U+2029), Python's only newline; on the
+#     one-turn-per-line contract (no literal newline) a Java (?s)-dot
+#     equals the Python dot exactly
 _JAVA_SUMMARY_REGEX = re.sub(r"\(\?P<[^>]+>", "(", S.SUMMARY_TEXT_REGEX)
+_JAVA_SUMMARY_REGEX = "(?s)" + _JAVA_SUMMARY_REGEX.replace(
+    r"\S", f"[^{_PY_WS_CLASS}]"
+).replace(r"\d", r"\p{Nd}")
 
 # Jackson option alignment with the oracle's strict json.loads: Spark's
 # from_json default allows single-quoted JSON (Python's json rejects it);
@@ -197,21 +216,42 @@ def parse_turns_jvm(df: DataFrame) -> DataFrame:
     whole-stage codegen / Catalyst — no Arrow transfer, no Python workers,
     which is worth ~15-25% e2e and scales with cores (BENCH/BASELINE.md).
 
-    Caveat vs the pandas path: a summary line whose msg contains \\x01
-    would misalign the split (not expressible in the reference's syslog
-    domain; parse_turns_pandas is the byte-safe fallback)."""
+    Caveat vs the pandas path: msg (the free-text field) is extracted
+    byte-safely via its own $8 replacement, so arbitrary content — incl.
+    the \\x01 split sentinel — round-trips exactly (fuzz-tested). The
+    residual caveat is \\x01 INSIDE one of the \\S+ machine-identifier
+    fields (act/sn/state), which would misalign the positional split —
+    outside the reference's token-identifier domain;
+    parse_turns_pandas remains the fully byte-safe fallback."""
     text = F.col("text")
-    stripped = F.trim(text)
+    # Python-strip semantics, not F.trim: the oracle's blank test is
+    # text.strip() == '' (Unicode whitespace), and the audit candidate
+    # gate must see past leading \t/\n (json.loads accepts JSON whitespace
+    # before '{' — an ASCII-space-only trim misrouted '\t{...}' payloads)
+    stripped = py_strip(text)
     blank = text.isNull() | (stripped == "")
     is_summary = (~blank) & text.rlike(_JAVA_SUMMARY_REGEX)
 
-    repl = _SEP.join(f"${i}" for i in range(1, len(S.SUMMARY_TEXT_FIELDS) + 1))
+    # BYTE-SAFE extraction for arbitrary content (fuzz-caught: a \x01 split
+    # sentinel inside act/msg misaligned the old single-split scheme):
+    # the \d+ fields — which provably cannot contain the sentinel — ride
+    # ONE replace→split pass; every \S+/free-text field (act, sn, state,
+    # msg) gets its own full-match "$i" replacement, immune to any bytes
+    # it contains. 6 regex passes total (rlike + split + 4 per-field) vs
+    # 9 for all-per-field.
+    digit_fields = ["count", "interval_sec", "bytes_in", "bytes_out"]  # $3..$6
+    repl = _SEP.join(f"${i}" for i in range(3, 7))
     parts = F.split(F.regexp_replace(text, _JAVA_SUMMARY_REGEX, repl), _SEP, -1)
+    field_expr = {
+        f: (
+            F.get(parts, F.lit(digit_fields.index(f)))
+            if f in digit_fields
+            else F.regexp_replace(text, _JAVA_SUMMARY_REGEX, f"${i + 1}")
+        )
+        for i, f in enumerate(S.SUMMARY_TEXT_FIELDS)
+    }
     df = df.withColumns(
-        {
-            f"s_{f}": F.when(is_summary, F.get(parts, F.lit(i)))
-            for i, f in enumerate(S.SUMMARY_TEXT_FIELDS)
-        }
+        {f"s_{f}": F.when(is_summary, e) for f, e in field_expr.items()}
     )
 
     audit_cand = (~blank) & (~is_summary) & stripped.startswith("{")
@@ -219,7 +259,7 @@ def parse_turns_jvm(df: DataFrame) -> DataFrame:
         "audit",
         F.when(audit_cand, F.from_json(text, S.AUDIT_JSON_SCHEMA, AUDIT_JSON_OPTIONS)),
     )
-    is_audit = F.nullif(F.trim(F.col("audit")["event_type"]), F.lit("")).isNotNull()
+    is_audit = F.nullif(py_strip(F.col("audit")["event_type"]), F.lit("")).isNotNull()
     df = df.withColumn(
         "event_class",
         F.when(blank, F.lit(None).cast("string"))

@@ -66,8 +66,9 @@ def parse_enrich_format(
         "left",
     ).drop("lk_role", "lk_tool_key", "tool_key")
 
+    from illumio_spark.functions.format import _clean as clean  # Python-strip semantics
+
     is_audit = F.col("event_class") == S.CLASS_AUDITABLE
-    clean = lambda c: F.nullif(F.trim(c), F.lit(""))  # noqa: E731
     df = df.withColumn(
         "event_type",
         F.when(is_audit, clean(F.col("a_event_type"))).otherwise(F.col("lk_event_type")),

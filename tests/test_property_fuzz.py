@@ -29,7 +29,8 @@ _CHARS = st.characters(
 )
 _TEXT = st.text(_CHARS, min_size=0, max_size=80)
 _INJECT = st.sampled_from(
-    ["|", "||", "=", "msg=", "act=", '"', "\\", "…", "naïve|name", "a=b|c=d"]
+    ["|", "||", "=", "msg=", "act=", '"', "\\", "…", "naïve|name", "a=b|c=d",
+     "\x01", "pre\x01post", "\xa0padded\xa0"]  # split sentinel + unicode ws
 )
 
 
