@@ -134,6 +134,40 @@ def bench_pipeline(spark, sf: float, warmup: bool = True) -> tuple[float, int]:
         shutil.rmtree(out, ignore_errors=True)
 
 
+class StderrCapture:
+    """Tee fd 2 to a file so the JVM's log4j output (which inherits the
+    Python process's stderr) can be scanned for codegen compile failures.
+    A contended-host number and a broken plan must never be conflated
+    again (VERDICT r3 'what's wrong #3'): any 'Failed to compile' /
+    'grows beyond 64 KB' in the run flips codegen_fallback=true in the
+    output JSON."""
+
+    _PATTERNS = (b"Failed to compile", b"grows beyond 64 KB", b"ERROR CodeGenerator")
+
+    def __enter__(self):
+        self.path = os.path.join(tempfile.gettempdir(), f"bench_stderr_{os.getpid()}.log")
+        self.saved_fd = os.dup(2)
+        self.f = open(self.path, "wb")
+        os.dup2(self.f.fileno(), 2)
+        return self
+
+    def __exit__(self, *exc):
+        os.dup2(self.saved_fd, 2)
+        os.close(self.saved_fd)
+        self.f.close()
+
+    def codegen_fallback(self) -> bool:
+        with open(self.path, "rb") as f:
+            data = f.read()
+        hit = any(p in data for p in self._PATTERNS)
+        if hit:  # surface the evidence on the restored stderr
+            for line in data.splitlines():
+                if any(p in line for p in self._PATTERNS):
+                    sys.stderr.write(line.decode(errors="replace")[:300] + "\n")
+        os.remove(self.path)
+        return hit
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -142,24 +176,27 @@ def main():
     from illumio_spark.session import build_session
     import __spark_entry__ as entry_mod
 
-    spark = build_session(
-        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    with StderrCapture() as cap:
+        spark = build_session(
+            app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+        )
+        spark.sparkContext.setLogLevel("ERROR")
 
-    queries: dict[str, float] = {}
+        queries: dict[str, float] = {}
 
-    disk_mb_s = round(disk_probe_mb_s())
-    elapsed, n_turns = bench_pipeline(spark, sf)
-    queries["pipeline_e2e"] = round(elapsed, 3)
-    turns_per_sec = n_turns / elapsed
+        disk_mb_s = round(disk_probe_mb_s())
+        elapsed, n_turns = bench_pipeline(spark, sf)
+        queries["pipeline_e2e"] = round(elapsed, 3)
+        turns_per_sec = n_turns / elapsed
 
-    qmap = entry_mod.queries()
-    qmap.update(bench_overrides())  # engine-default (xxhash64) dedup paths
-    for name in HEADLINE:
-        t0 = time.time()
-        qmap[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        queries[name] = round(time.time() - t0, 3)
+        qmap = entry_mod.queries()
+        qmap.update(bench_overrides())  # engine-default (xxhash64) dedup paths
+        for name in HEADLINE:
+            t0 = time.time()
+            qmap[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            queries[name] = round(time.time() - t0, 3)
+
+        spark.stop()
 
     total = round(sum(queries.values()), 3)
     print(
@@ -174,10 +211,10 @@ def main():
                 "pipeline_turns_per_sec": round(turns_per_sec, 1),
                 "cpus": int(cpus),
                 "disk_mb_s": disk_mb_s,
+                "codegen_fallback": cap.codegen_fallback(),
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

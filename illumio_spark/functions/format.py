@@ -108,9 +108,18 @@ _NO_ESCAPE_FIELDS = {
 }
 
 
-def formatted_log_column() -> Column:
-    """'k=v|k=v|...' pipe join with '|'→'_' value escaping (F1)."""
-    fields = siem_field_columns()
+def formatted_log_column(fields: dict[str, Column] | None = None) -> Column:
+    """'k=v|k=v|...' pipe join with '|'→'_' value escaping (F1).
+
+    ``fields`` should be pre-materialized column references (see
+    ``with_routed_text``): each field value is referenced 2-3× here
+    (null/empty gate + escaped value), so inlining the raw
+    ``siem_field_columns()`` expressions duplicates every ``py_strip``
+    regexp subtree — the generated ``sort_addToSorter_0()`` of the sink
+    stage grew past the JVM's 64 KB method limit and silently fell back
+    to interpreted execution (2×+ slower end-to-end)."""
+    if fields is None:
+        fields = siem_field_columns()
     device_type = fields["tag1"]  # tag1 == device_type by construction
 
     head = F.concat(
@@ -134,10 +143,15 @@ def formatted_log_column() -> Column:
     return F.concat(*parts)
 
 
-def routed_text_column(formatted: Column) -> Column:
+def routed_text_column(formatted: Column, escaped: Column | None = None) -> Column:
     """Append escaped+truncated original payload (F2) and the deterministic
-    syslog envelope (F3, derived from event ts — SURVEY.md §7 risk note)."""
-    escaped = F.replace(F.col("text"), F.lit("|"), F.lit("_"))
+    syslog envelope (F3, derived from event ts — SURVEY.md §7 risk note).
+
+    Pass pre-materialized ``formatted``/``escaped`` column refs when this
+    feeds a real sink plan: both are referenced 2-3× below, and inlined
+    copies of the whole format concat double the generated code size."""
+    if escaped is None:
+        escaped = F.replace(F.col("text"), F.lit("|"), F.lit("_"))
     max_orig = F.lit(S.MAX_MESSAGE_LENGTH) - F.length(formatted) - F.lit(_ORIG_PREFIX_LEN)
     keep = F.greatest(max_orig - F.lit(3), F.lit(0))
     orig = F.when(
@@ -156,5 +170,23 @@ def routed_text_column(formatted: Column) -> Column:
 
 
 def with_routed_text(df: DataFrame) -> DataFrame:
-    formatted = formatted_log_column()
-    return df.withColumn("routed_text", routed_text_column(formatted))
+    """+ routed_text, with explicit projection boundaries for codegen.
+
+    Three staged projections: (1) every SIEM field value computed ONCE,
+    (2) the pipe-joined format string + escaped payload computed ONCE,
+    (3) the final envelope concat. CollapseProject keeps the boundaries
+    because each intermediate is a non-cheap expression referenced more
+    than once downstream — so each ``py_strip`` regexp appears exactly
+    once in the generated code instead of ~6× (the 64 KB-method-limit
+    codegen fallback VERDICT r3 'what's wrong #1')."""
+    fields = siem_field_columns()
+    df = df.withColumns({f"_sf_{n}": c for n, c in fields.items()})
+    mat = {n: F.col(f"_sf_{n}") for n in fields}
+    df = df.withColumns(
+        {
+            "_fmt": formatted_log_column(mat),
+            "_esc": F.replace(F.col("text"), F.lit("|"), F.lit("_")),
+        }
+    )
+    df = df.withColumn("routed_text", routed_text_column(F.col("_fmt"), F.col("_esc")))
+    return df.drop("_fmt", "_esc", *[f"_sf_{n}" for n in fields])

@@ -202,59 +202,65 @@ def parse_turns_pandas(df: DataFrame) -> DataFrame:
     return with_audit_fields(df.mapInPandas(run, schema=schema))
 
 
-_SEP = "\x01"  # separator for the one-pass regexp_replace group extraction
+# Split sentinel for the one-pass group extraction. '\n' is PROVABLY
+# collision-free for every non-terminal field: act/sn/state match the
+# Python-\S class (no whitespace of any kind, so no '\n'), the four digit
+# fields match \p{Nd}+ — and msg, the only field that may contain anything,
+# rides LAST with a split limit so the remainder is taken verbatim. This is
+# byte-safe for arbitrary content with NO residual caveat (the previous
+# \x01 sentinel could in principle appear inside a \S+ field); the input
+# contract additionally guarantees one-turn-per-line (no literal '\n').
+_SEP = "\n"
+_SUMMARY_REPL = _SEP.join(f"${i}" for i in range(1, len(S.SUMMARY_TEXT_FIELDS) + 1))
 
 
 def parse_turns_jvm(df: DataFrame) -> DataFrame:
     """Full-JVM parse: identical routing + extraction semantics, zero Python.
 
-    Summary extraction is TWO regex passes (rlike to classify, one
-    regexp_replace rewriting the line to $1␁$2␁…, then a split) instead of
-    eight regexp_extract calls; audit classification is from_json with
-    strict-json options (alignment with the oracle's json.loads verified on
-    every malformed class in the corpus). Everything stays inside
-    whole-stage codegen / Catalyst — no Arrow transfer, no Python workers,
-    which is worth ~15-25% e2e and scales with cores (BENCH/BASELINE.md).
+    Summary extraction is TWO regex passes total (rlike to classify, one
+    regexp_replace rewriting the line to $1⏎$2⏎…$8, then a limit-8 split
+    whose last element keeps msg verbatim) instead of eight regexp_extract
+    calls; audit classification is from_json with strict-json options
+    (alignment with the oracle's json.loads verified on every malformed
+    class in the corpus). Everything stays inside whole-stage codegen /
+    Catalyst — no Arrow transfer, no Python workers, which is worth
+    ~15-25% e2e and scales with cores (BENCH/BASELINE.md).
 
-    Caveat vs the pandas path: msg (the free-text field) is extracted
-    byte-safely via its own $8 replacement, so arbitrary content — incl.
-    the \\x01 split sentinel — round-trips exactly (fuzz-tested). The
-    residual caveat is \\x01 INSIDE one of the \\S+ machine-identifier
-    fields (act/sn/state), which would misalign the positional split —
-    outside the reference's token-identifier domain;
-    parse_turns_pandas remains the fully byte-safe fallback."""
+    The three expensive shared subtrees (py_strip, the rlike, the
+    replace→split) are each materialized ONCE as a temp column: inlined,
+    the ~700-char Unicode-class pattern appeared 5× (plus the strip regex
+    per reference site) and pushed the sink stage's generated method past
+    the JVM 64 KB limit — a silent fallback to interpreted execution,
+    2×+ slower (VERDICT r3). CollapseProject keeps the projection
+    boundaries because each temp is non-cheap and multi-referenced."""
     text = F.col("text")
     # Python-strip semantics, not F.trim: the oracle's blank test is
     # text.strip() == '' (Unicode whitespace), and the audit candidate
     # gate must see past leading \t/\n (json.loads accepts JSON whitespace
     # before '{' — an ASCII-space-only trim misrouted '\t{...}' payloads)
-    stripped = py_strip(text)
-    blank = text.isNull() | (stripped == "")
-    is_summary = (~blank) & text.rlike(_JAVA_SUMMARY_REGEX)
-
-    # BYTE-SAFE extraction for arbitrary content (fuzz-caught: a \x01 split
-    # sentinel inside act/msg misaligned the old single-split scheme):
-    # the \d+ fields — which provably cannot contain the sentinel — ride
-    # ONE replace→split pass; every \S+/free-text field (act, sn, state,
-    # msg) gets its own full-match "$i" replacement, immune to any bytes
-    # it contains. 6 regex passes total (rlike + split + 4 per-field) vs
-    # 9 for all-per-field.
-    digit_fields = ["count", "interval_sec", "bytes_in", "bytes_out"]  # $3..$6
-    repl = _SEP.join(f"${i}" for i in range(3, 7))
-    parts = F.split(F.regexp_replace(text, _JAVA_SUMMARY_REGEX, repl), _SEP, -1)
-    field_expr = {
-        f: (
-            F.get(parts, F.lit(digit_fields.index(f)))
-            if f in digit_fields
-            else F.regexp_replace(text, _JAVA_SUMMARY_REGEX, f"${i + 1}")
-        )
-        for i, f in enumerate(S.SUMMARY_TEXT_FIELDS)
-    }
+    df = df.withColumn("_stripped", py_strip(text))
+    blank = text.isNull() | (F.col("_stripped") == "")
+    df = df.withColumn("_is_summary", (~blank) & text.rlike(_JAVA_SUMMARY_REGEX))
+    is_summary = F.col("_is_summary")
+    df = df.withColumn(
+        "_sum_parts",
+        F.when(
+            is_summary,
+            F.split(
+                F.regexp_replace(text, _JAVA_SUMMARY_REGEX, _SUMMARY_REPL),
+                _SEP,
+                len(S.SUMMARY_TEXT_FIELDS),
+            ),
+        ),
+    )
     df = df.withColumns(
-        {f"s_{f}": F.when(is_summary, e) for f, e in field_expr.items()}
+        {
+            f"s_{f}": F.get("_sum_parts", i)
+            for i, f in enumerate(S.SUMMARY_TEXT_FIELDS)
+        }
     )
 
-    audit_cand = (~blank) & (~is_summary) & stripped.startswith("{")
+    audit_cand = (~blank) & (~is_summary) & F.col("_stripped").startswith("{")
     df = df.withColumn(
         "audit",
         F.when(audit_cand, F.from_json(text, S.AUDIT_JSON_SCHEMA, AUDIT_JSON_OPTIONS)),
@@ -271,7 +277,9 @@ def parse_turns_jvm(df: DataFrame) -> DataFrame:
             F.col("event_class").isNull(), S.ERROR_UNPARSEABLE
         ),
     )
-    return df.withColumns(audit_field_columns())
+    return df.withColumns(audit_field_columns()).drop(
+        "_stripped", "_is_summary", "_sum_parts"
+    )
 
 
 def parse_turns(df: DataFrame, parser: str = "jvm") -> DataFrame:
