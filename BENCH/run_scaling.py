@@ -188,7 +188,15 @@ def render(history: dict, levels: list[int]) -> None:
     sessions = history["sessions"]
 
     def best_session(mode: str) -> dict:
-        return max(sessions, key=lambda s: (s["pairs"][mode][0]["efficiency"], s.get("ts", 0)))
+        # sessions recorded with a single core level have no pairs — rank
+        # them last instead of IndexError'ing the whole render
+        return max(
+            sessions,
+            key=lambda s: (
+                s["pairs"][mode][0]["efficiency"] if s["pairs"].get(mode) else float("-inf"),
+                s.get("ts", 0),
+            ),
+        )
 
     chosen = {m: best_session(m) for m in ["compute", "e2e"]}
     n_turns = sessions[-1]["n_turns"]
@@ -208,7 +216,9 @@ def render(history: dict, levels: list[int]) -> None:
         )
 
     def sess_row(s: dict) -> str:
-        when = datetime.datetime.utcfromtimestamp(s.get("ts", 0)).strftime("%m-%d %H:%M")
+        when = datetime.datetime.fromtimestamp(
+            s.get("ts", 0), tz=datetime.timezone.utc
+        ).strftime("%m-%d %H:%M")
         disk = s.get("disk_mb_s") or {}
         dk = f"{disk.get('before', '?')}/{disk.get('after', '?')}"
         cp = ", ".join(

@@ -252,7 +252,13 @@ def decode_png_gray8(b: bytes) -> list[int]:
         elif tag == b"IEND":
             break
         i += 12 + length
+    if width is None:
+        raise ValueError("PNG has no IHDR chunk")
     raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (width + 1):
+        raise ValueError(
+            f"PNG IDAT inflates to {len(raw)} bytes, expected {height * (width + 1)}"
+        )
     out: list[int] = []
     prior = [0] * width
     for y in range(height):
@@ -318,18 +324,219 @@ def decode_wav_pcm16(b: bytes) -> list[int]:
     raise ValueError("WAV data chunk not found")
 
 
+# --- GIF: REAL LZW codec, pure stdlib ------------------------------------
+# Full GIF89a pixel path: logical-screen + color-table walk, sub-block
+# reassembly, and a complete LZW implementation — variable code width
+# (9→12 bit, LSB-first packing), clear/end codes, dictionary growth with
+# the KwKwK self-reference case, and encoder-side clear on table overflow.
+# (Reference parity note: the reference engine has no image path at all;
+# this is part of the training-data-pipeline surface, SURVEY.md §LLM.)
+
+
+class _LZWBitWriter:
+    """LSB-first variable-width code packer (GIF Appendix F)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _lzw_encode_gif(data: bytes, min_code_size: int) -> bytes:
+    """GIF-flavor LZW: emits CLEAR first, grows code width as the decoder's
+    table does (encoder runs one table entry ahead of the decoder, so the
+    width test uses next_code ≤ 2^width — verified by the round-trip and
+    hand-built-stream tests), CLEARs before the 12-bit table overflows."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    bw = _LZWBitWriter()
+
+    def width(next_code: int) -> int:
+        w = min_code_size + 1
+        while next_code > (1 << w) and w < 12:
+            w += 1
+        return w
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    bw.write(clear, width(next_code))
+    w_str = b""
+    for byte in data:
+        wk = w_str + bytes([byte])
+        if wk in table:
+            w_str = wk
+            continue
+        bw.write(table[w_str], width(next_code))
+        if next_code < 4095:
+            table[wk] = next_code
+            next_code += 1
+        else:  # table nearly full: reset both sides in lockstep
+            bw.write(clear, width(next_code))
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+        w_str = bytes([byte])
+    if w_str:
+        bw.write(table[w_str], width(next_code))
+        next_code += 1  # the decoder will add one more entry before END
+    bw.write(end, width(next_code))
+    return bw.finish()
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int) -> bytes:
+    """Inverse of the above: LSB-first codes, clear/end, KwKwK growth."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    table: list[bytes] = []
+    code_width = min_code_size + 1
+    next_code = end + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = pos = 0
+    while True:
+        while nbits < code_width:
+            if pos >= len(data):
+                return bytes(out)  # tolerate missing END (truncated stream)
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << code_width) - 1)
+        acc >>= code_width
+        nbits -= code_width
+        if code == clear:
+            table = []
+            code_width = min_code_size + 1
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if code < clear:
+            entry = bytes([code])
+        elif code - end - 1 < len(table):
+            entry = table[code - end - 1]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]  # KwKwK: code defined by this very step
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} before definition")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table.append(prev + entry[:1])
+            next_code += 1
+            if next_code == (1 << code_width) and code_width < 12:
+                code_width += 1
+        prev = entry
+
+
+def _gif_subblocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif_gray8(width: int, height: int, values) -> bytes:
+    """Minimal REAL GIF89a encoder: 256-entry grayscale global color table
+    (palette[i] = (i,i,i), so pixel index == gray value), one image block,
+    real LZW-compressed data in ≤255-byte sub-blocks."""
+    import struct
+
+    assert len(values) == width * height
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    pixels = bytes(int(v) & 0xFF for v in values)
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", width, height)
+        + bytes([0xF7, 0, 0])  # GCT present, 8-bit color res, 256 entries
+        + palette
+        + b"\x2c"
+        + struct.pack("<HHHH", 0, 0, width, height)
+        + b"\x00"  # no local color table, not interlaced
+        + bytes([8])  # LZW min code size
+        + _gif_subblocks(_lzw_encode_gif(pixels, 8))
+        + b"\x3b"
+    )
+
+
+def decode_gif_gray(b: bytes) -> list[int]:
+    """REAL GIF pixel decode: header + color-table walk, extension skip,
+    sub-block reassembly, full LZW expansion; returns the gray value of
+    each pixel (palette red channel — exact for grayscale palettes).
+    Interlaced images are out of scope for this engine's fixtures."""
+    import struct
+
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    packed = b[10]
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = b[i : i + 3 * n]
+        i += 3 * n
+    while i < len(b):
+        block = b[i]
+        if block == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(b) and b[i]:
+                i += 1 + b[i]
+            i += 1
+        elif block == 0x2C:  # image descriptor
+            _, _, _, _, ipacked = struct.unpack("<HHHHB", b[i + 1 : i + 10])
+            i += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = b[i : i + 3 * n]
+                i += 3 * n
+            if ipacked & 0x40:
+                raise NotImplementedError("interlaced GIF not supported")
+            if ct is None:
+                raise ValueError("GIF image has no color table")
+            min_code_size = b[i]
+            i += 1
+            data = bytearray()
+            while i < len(b) and b[i]:
+                data += b[i + 1 : i + 1 + b[i]]
+                i += 1 + b[i]
+            indices = _lzw_decode_gif(bytes(data), min_code_size)
+            return [ct[3 * ix] for ix in indices]
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+    raise ValueError("GIF image block not found")
+
+
 def decode_values(b: bytes) -> tuple[str, list[int] | None]:
-    """(format, decoded values) — REAL decode for png (pixels) and wav (PCM
-    samples). gif/jpeg entropy decode needs codec libraries (LZW/DCT) not in
-    this container and stays NotImplementedError; unknown formats → None."""
+    """(format, decoded values) — REAL decode for png (pixels), gif (LZW
+    pixels), wav (PCM samples). jpeg entropy decode (Huffman+DCT) is the one
+    remaining NotImplementedError; unknown formats → None."""
     fmt = _parse_header(bytes(b))[0]
     if fmt == "png":
         return "png", decode_png_gray8(bytes(b))
+    if fmt == "gif":
+        return "gif", decode_gif_gray(bytes(b))
     if fmt == "wav":
         return "wav", decode_wav_pcm16(bytes(b))
-    if fmt in ("gif", "jpeg"):
+    if fmt == "jpeg":
         raise NotImplementedError(
-            f"{fmt} pixel decode needs a codec library (LZW/DCT) not in this container"
+            "jpeg pixel decode needs an entropy codec (Huffman+DCT) not in this container"
         )
     return "unknown", None
 

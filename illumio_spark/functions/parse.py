@@ -61,6 +61,12 @@ _PY_WS_CLASS = (
 #     one-turn-per-line contract (no literal newline) a Java (?s)-dot
 #     equals the Python dot exactly
 _JAVA_SUMMARY_REGEX = re.sub(r"\(\?P<[^>]+>", "(", S.SUMMARY_TEXT_REGEX)
+# ASCII twin: for strings made only of chars in [\x00-\x1b\x20-\x7f] (no
+# Unicode whitespace/digits, no \x1c-\x1f — see format.PY_TRICKY_RE), Java's
+# primitive \S/\d classes agree with Python's exactly, and they measure ~6×
+# faster than the 20-range custom class (0.9 s vs 5.5 s per pass over 1.3M
+# rows). parse_turns_jvm picks per row via one cheap two-range scan.
+_JAVA_SUMMARY_REGEX_ASCII = "(?s)" + _JAVA_SUMMARY_REGEX
 _JAVA_SUMMARY_REGEX = "(?s)" + _JAVA_SUMMARY_REGEX.replace(
     r"\S", f"[^{_PY_WS_CLASS}]"
 ).replace(r"\d", r"\p{Nd}")
@@ -234,22 +240,46 @@ def parse_turns_jvm(df: DataFrame) -> DataFrame:
     2×+ slower (VERDICT r3). CollapseProject keeps the projection
     boundaries because each temp is non-cheap and multi-referenced."""
     text = F.col("text")
+    # One cheap two-range scan decides, per row, whether the exact Unicode
+    # patterns are needed or their ~6×-faster ASCII twins suffice
+    # (identical semantics on safe rows — see format.PY_TRICKY_RE).
+    from illumio_spark.functions.format import PY_TRICKY_RE, _ASCII_STRIP_RE, _PY_STRIP_RE
+
+    df = df.withColumn("_tricky", text.rlike(PY_TRICKY_RE))
+    tricky = F.col("_tricky")
     # Python-strip semantics, not F.trim: the oracle's blank test is
     # text.strip() == '' (Unicode whitespace), and the audit candidate
     # gate must see past leading \t/\n (json.loads accepts JSON whitespace
     # before '{' — an ASCII-space-only trim misrouted '\t{...}' payloads)
-    df = df.withColumn("_stripped", py_strip(text))
+    df = df.withColumn(
+        "_stripped",
+        F.when(tricky, F.regexp_replace(text, _PY_STRIP_RE, "")).otherwise(
+            F.regexp_replace(text, _ASCII_STRIP_RE, "")
+        ),
+    )
     blank = text.isNull() | (F.col("_stripped") == "")
-    df = df.withColumn("_is_summary", (~blank) & text.rlike(_JAVA_SUMMARY_REGEX))
+    df = df.withColumn(
+        "_is_summary",
+        (~blank)
+        & F.when(tricky, text.rlike(_JAVA_SUMMARY_REGEX)).otherwise(
+            text.rlike(_JAVA_SUMMARY_REGEX_ASCII)
+        ),
+    )
     is_summary = F.col("_is_summary")
+    n_fields = len(S.SUMMARY_TEXT_FIELDS)
     df = df.withColumn(
         "_sum_parts",
         F.when(
             is_summary,
-            F.split(
-                F.regexp_replace(text, _JAVA_SUMMARY_REGEX, _SUMMARY_REPL),
-                _SEP,
-                len(S.SUMMARY_TEXT_FIELDS),
+            F.when(
+                tricky,
+                F.split(F.regexp_replace(text, _JAVA_SUMMARY_REGEX, _SUMMARY_REPL), _SEP, n_fields),
+            ).otherwise(
+                F.split(
+                    F.regexp_replace(text, _JAVA_SUMMARY_REGEX_ASCII, _SUMMARY_REPL),
+                    _SEP,
+                    n_fields,
+                )
             ),
         ),
     )
@@ -278,7 +308,7 @@ def parse_turns_jvm(df: DataFrame) -> DataFrame:
         ),
     )
     return df.withColumns(audit_field_columns()).drop(
-        "_stripped", "_is_summary", "_sum_parts"
+        "_tricky", "_stripped", "_is_summary", "_sum_parts"
     )
 
 

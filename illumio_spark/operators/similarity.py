@@ -160,6 +160,7 @@ def lsh_topk(
     n_planes: int = 8,
     dim: int = 64,
     n_tables: int = 3,
+    broadcast_vectors: bool = False,
 ) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH.
 
@@ -175,7 +176,14 @@ def lsh_topk(
     the vectors, which at real dims dominate the pair rows ~60:1. Vectors
     re-attach afterwards by plain equi-joins on the ids (auto-broadcast
     when the side is small; a linear shuffle otherwise), so the exact
-    cosine runs once per deduped candidate."""
+    cosine runs once per deduped candidate.
+
+    ``broadcast_vectors`` hints the corpus re-attach join for broadcast:
+    set it only when the corpus is known to fit in executor memory
+    (Catalyst misestimates array-column sizes and may pick a sort-merge
+    join that measured 2× slower at small scale). Default False — the
+    100 TB-safe path — lets AQE pick the strategy from runtime sizes;
+    the query side, genuinely small, is always broadcast."""
     ev = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     qv = queries.select(F.col(qid_col), F.col(qvec_col).cast("array<double>").alias("qv"))
     e = _bucketed_long(ev, id_col, "v", n_planes, dim, n_tables).select(id_col, "tbl", "bucket")
@@ -195,7 +203,8 @@ def lsh_topk(
         .select(qid_col, id_col)
         .dropDuplicates([qid_col, id_col])
     )
-    candidates = cand_ids.join(F.broadcast(ev), id_col).join(F.broadcast(qv), qid_col)
+    evr = F.broadcast(ev) if broadcast_vectors else ev
+    candidates = cand_ids.join(evr, id_col).join(F.broadcast(qv), qid_col)
     scored = candidates.withColumn("cos", cosine(F.col("v"), F.col("qv")))
     w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col(id_col))
     return (
@@ -213,6 +222,7 @@ def lsh_neardup_pairs(
     n_planes: int = 4,
     dim: int = 64,
     n_tables: int = 3,
+    broadcast_vectors: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed (never O(n²)).
 
@@ -241,13 +251,17 @@ def lsh_neardup_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    # the vector table is the SMALL side vs the candidate-pair fan-out —
-    # broadcast it explicitly (Catalyst misestimates array column sizes and
-    # falls back to sort-merge-joining the pairs twice, measured 2× slower
-    # than even the naive vector-carrying join). At dims/corpora too big to
-    # broadcast, drop the hint: the equi-join stays linear in |vectors|.
-    va = F.broadcast(ev.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va")))
-    vb = F.broadcast(ev.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb")))
+    # broadcast_vectors=True hints the vector re-attach joins for broadcast:
+    # Catalyst misestimates array column sizes and may sort-merge-join the
+    # pairs twice (measured 2× slower than even the naive vector-carrying
+    # join at small scale) — but an unconditional hint would OOM on a
+    # corpus that doesn't fit in executor memory, so the 100 TB-safe
+    # default is False and AQE picks the strategy from runtime sizes.
+    def _maybe_b(d):
+        return F.broadcast(d) if broadcast_vectors else d
+
+    va = _maybe_b(ev.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va")))
+    vb = _maybe_b(ev.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb")))
     return (
         cand_ids.join(va, "id_a")
         .join(vb, "id_b")

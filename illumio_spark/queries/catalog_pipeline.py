@@ -56,6 +56,28 @@ def _golden_input(spark):
     return synth.generate_spark(spark, PG.N_CONV, hot_frac=PG.HOT_FRAC)
 
 
+# Pipeline-backed queries need scratch sink dirs. One mkdtemp per *call*
+# leaked dirs across repeated driver/selfcheck invocations (ADVICE r3);
+# instead each (session, query) builds its result ONCE into a scratch dir
+# that is removed at interpreter exit, and repeat calls return the cached
+# lazy DataFrame over the already-committed tables.
+_SESSION_RESULTS: dict = {}
+
+
+def _session_cached(spark, name: str, build):
+    """build(scratch_dir) -> DataFrame, memoized per (SparkSession, name)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, name)
+    if key not in _SESSION_RESULTS:
+        root = tempfile.mkdtemp(prefix=f"{name}_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _SESSION_RESULTS[key] = build(root)
+    return _SESSION_RESULTS[key]
+
+
 @q(
     "pipeline_routed_events",
     _values_sql(
@@ -92,24 +114,24 @@ def s7_gz_ndjson_ingest(spark, sf_dir):
     reference's download+gunzip+line-parse wire path, s3_manager.py:304-354)
     — must reproduce the identical routed summary as the in-memory path,
     proving the raw front-end is lossless."""
-    import tempfile
-
     from illumio_spark.sources.rawlog import read_raw_gz, write_gz_fixture
 
-    out_dir = tempfile.mkdtemp(prefix="s7_gz_fixture_")
-    write_gz_fixture(synth.generate_pandas(PG.N_CONV, hot_frac=PG.HOT_FRAC), out_dir)
-    raw = read_raw_gz(spark, f"{out_dir}/*.ndjson.gz")
-    enriched = parse_enrich_format(spark, raw)
-    return (
-        routed_events(enriched)
-        .groupBy("event_class")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.countDistinct("conv_id").alias("n_convs"),
-            _checksum("routed_text").alias("checksum"),
+    def build(out_dir):
+        write_gz_fixture(synth.generate_pandas(PG.N_CONV, hot_frac=PG.HOT_FRAC), out_dir)
+        raw = read_raw_gz(spark, f"{out_dir}/*.ndjson.gz")
+        enriched = parse_enrich_format(spark, raw)
+        return (
+            routed_events(enriched)
+            .groupBy("event_class")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("conv_id").alias("n_convs"),
+                _checksum("routed_text").alias("checksum"),
+            )
+            .orderBy("event_class")
         )
-        .orderBy("event_class")
-    )
+
+    return _session_cached(spark, "s7_gz_fixture", build)
 
 
 @q(
@@ -168,20 +190,21 @@ def a11_total_ever(spark, sf_dir):
     sqlite_sequence.seq): per-run committed row totals read back from the
     checkpoints table across a two-run resumable history — the manifest/
     snapshot lineage as a queryable relation."""
-    import tempfile
-
     from illumio_spark.plans.pipeline import run_pipeline
     from illumio_spark.plans.resume import run_resumable
     from illumio_spark.sources.tableio import TableIO
 
-    io = TableIO(tempfile.mkdtemp(prefix="a11_lineage_"))
-    df = _golden_input(spark)
-    first = df.filter(F.date_format("ts", "yyyy-MM-dd") <= PG.A11_CUTOFF)
-    run_pipeline(spark, first, io=io, run_id="run1")
-    run_resumable(spark, df, io, run_id="run2")
-    ckpt = io.read(spark, "checkpoints")
-    run_id = F.split(F.col("lineage_id"), ":").getItem(0).alias("run_id")
-    return ckpt.groupBy(run_id).agg(F.sum("n_rows").alias("n_rows")).orderBy("run_id")
+    def build(root):
+        io = TableIO(root)
+        df = _golden_input(spark)
+        first = df.filter(F.date_format("ts", "yyyy-MM-dd") <= PG.A11_CUTOFF)
+        run_pipeline(spark, first, io=io, run_id="run1")
+        run_resumable(spark, df, io, run_id="run2")
+        ckpt = io.read(spark, "checkpoints")
+        run_id = F.split(F.col("lineage_id"), ":").getItem(0).alias("run_id")
+        return ckpt.groupBy(run_id).agg(F.sum("n_rows").alias("n_rows")).orderBy("run_id")
+
+    return _session_cached(spark, "a11_lineage", build)
 
 
 @q(
@@ -198,25 +221,26 @@ def a2b_rollup_delta(spark, sf_dir):
     pipeline commits (run1 = days ≤ cutoff, run2 = resumable remainder),
     then per-class lag() deltas computed from the committed rollups table —
     the report history as a queryable relation."""
-    import tempfile
-
     from pyspark.sql import Window
 
     from illumio_spark.plans.pipeline import run_pipeline
     from illumio_spark.plans.resume import run_resumable
     from illumio_spark.sources.tableio import TableIO
 
-    io = TableIO(tempfile.mkdtemp(prefix="a2b_rollups_"))
-    df = _golden_input(spark)
-    first = df.filter(F.date_format("ts", "yyyy-MM-dd") <= PG.A11_CUTOFF)
-    run_pipeline(spark, first, io=io, run_id="run1")
-    run_resumable(spark, df, io, run_id="run2")
-    roll = io.read(spark, "rollups")
-    w = Window.partitionBy("sink", "event_class").orderBy("run_id")
-    return roll.select(
-        "run_id", "event_class", "sink", "n_rows",
-        (F.col("n_rows") - F.lag("n_rows").over(w)).alias("delta"),
-    ).orderBy("run_id", "sink", "event_class")
+    def build(root):
+        io = TableIO(root)
+        df = _golden_input(spark)
+        first = df.filter(F.date_format("ts", "yyyy-MM-dd") <= PG.A11_CUTOFF)
+        run_pipeline(spark, first, io=io, run_id="run1")
+        run_resumable(spark, df, io, run_id="run2")
+        roll = io.read(spark, "rollups")
+        w = Window.partitionBy("sink", "event_class").orderBy("run_id")
+        return roll.select(
+            "run_id", "event_class", "sink", "n_rows",
+            (F.col("n_rows") - F.lag("n_rows").over(w)).alias("delta"),
+        ).orderBy("run_id", "sink", "event_class")
+
+    return _session_cached(spark, "a2b_rollups", build)
 
 
 @q(

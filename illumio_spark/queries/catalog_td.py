@@ -309,7 +309,10 @@ def td_ann_lsh_topk(spark, sf_dir):
     qs = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
-    return SIM.lsh_topk(emb, qs, k=10, n_planes=4).orderBy("qid", "rank")
+    # broadcast_vectors: this corpus is a few MB — the known-small case
+    return SIM.lsh_topk(
+        emb, qs, k=10, n_planes=4, broadcast_vectors=True
+    ).orderBy("qid", "rank")
 
 
 # (embedding L2 norms are exercised inside td_ann_cosine_topk /
@@ -371,8 +374,10 @@ def td_embedding_neardup(spark, sf_dir):
     # candidates — 5× fewer, and the gap widens with corpus growth. Both
     # engines share the seeded planes, so the candidate set (and hence the
     # output) is deterministic and identical cross-engine.
+    # broadcast_vectors: this corpus is a few MB — the known-small case
     return SIM.lsh_neardup_pairs(
-        corpus, "vec_id", "v", threshold=0.9, n_planes=8, dim=64, n_tables=9
+        corpus, "vec_id", "v", threshold=0.9, n_planes=8, dim=64, n_tables=9,
+        broadcast_vectors=True,
     ).orderBy("id_a", "id_b")
 
 
@@ -547,25 +552,34 @@ def td_media_sniff(spark, sf_dir):
 
 _DECODE_STATS_SQL = """
     WITH dims AS (
-        SELECT event_id,
-               event_id % 8 + 1 AS w, event_id % 6 + 1 AS h,
-               (event_id % 50 + 1) * (CASE WHEN event_id % 4 = 1 THEN 1 ELSE 2 END) AS n_samp
+        SELECT event_id, event_id % 3 AS m,
+               event_id % 8 + 1 AS pw, event_id % 6 + 1 AS ph,
+               event_id % 7 + 1 AS gw, event_id % 5 + 1 AS gh,
+               (event_id % 50 + 1) * (event_id % 2 + 1) AS n_samp
         FROM events WHERE event_id < 800
     )
     SELECT event_id,
-           CASE WHEN event_id % 2 = 0 THEN 'png' ELSE 'wav' END AS media_format,
-           CAST(CASE WHEN event_id % 2 = 0 THEN w * h ELSE n_samp END AS BIGINT) AS n_values,
-           CAST(CASE WHEN event_id % 2 = 0
-                THEN list_sum(list_transform(range(0, w * h), p -> (event_id * 7 + p * 13) % 256))
-                ELSE list_sum(list_transform(range(0, n_samp),
+           CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'gif' END AS media_format,
+           CAST(CASE m WHEN 0 THEN pw * ph WHEN 1 THEN n_samp ELSE gw * gh
+                END AS BIGINT) AS n_values,
+           CAST(CASE m
+                WHEN 0 THEN list_sum(list_transform(range(0, pw * ph),
+                     p -> (event_id * 7 + p * 13) % 256))
+                WHEN 1 THEN list_sum(list_transform(range(0, n_samp),
                      j -> ((event_id * 31 + j * 7) % 65536) - 32768))
+                ELSE list_sum(list_transform(range(0, gw * gh),
+                     p -> (event_id * 11 + p * 17) % 256))
                 END AS BIGINT) AS val_sum,
-           ROUND(CAST(CASE WHEN event_id % 2 = 0
-                THEN list_sum(list_transform(range(0, w * h), p -> (event_id * 7 + p * 13) % 256))
-                ELSE list_sum(list_transform(range(0, n_samp),
+           ROUND(CAST(CASE m
+                WHEN 0 THEN list_sum(list_transform(range(0, pw * ph),
+                     p -> (event_id * 7 + p * 13) % 256))
+                WHEN 1 THEN list_sum(list_transform(range(0, n_samp),
                      j -> ((event_id * 31 + j * 7) % 65536) - 32768))
+                ELSE list_sum(list_transform(range(0, gw * gh),
+                     p -> (event_id * 11 + p * 17) % 256))
                 END AS DOUBLE)
-                / (CASE WHEN event_id % 2 = 0 THEN w * h ELSE n_samp END), 6) AS val_mean
+                / (CASE m WHEN 0 THEN pw * ph WHEN 1 THEN n_samp ELSE gw * gh END),
+                6) AS val_mean
     FROM dims
 """
 
@@ -573,11 +587,12 @@ _DECODE_STATS_SQL = """
 @q("td_decode_stats", _DECODE_STATS_SQL)
 def td_decode_stats(spark, sf_dir):
     """REAL pixel/sample decode, oracle-checked end-to-end: payloads are
-    genuine PNG (zlib IDAT, filter types cycling 0-4 per row) and WAV
-    (PCM16) containers generated from event_id; decode_stats must inflate +
-    unfilter / unpack back EXACTLY the generating values, which the oracle
-    recomputes in closed form. Any bug in the inflate/unfilter/PCM path
-    flips the sum and fails the hash gate."""
+    genuine PNG (zlib IDAT, filter types cycling 0-4 per row), WAV (PCM16)
+    and GIF (real LZW compression, 256-gray palette) containers generated
+    from event_id; decode_stats must inflate + unfilter / unpack / LZW-
+    expand back EXACTLY the generating values, which the oracle recomputes
+    in closed form. Any bug in the inflate/unfilter/PCM/LZW path flips the
+    sum and fails the hash gate."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -585,6 +600,7 @@ def td_decode_stats(spark, sf_dir):
 
     from illumio_spark.functions.multimodal import (
         decode_stats,
+        encode_gif_gray8,
         encode_png_gray8,
         encode_wav_pcm16,
     )
@@ -593,11 +609,16 @@ def td_decode_stats(spark, sf_dir):
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def payload(i: int) -> bytes:
-            if i % 2 == 0:
+            m = i % 3
+            if m == 0:
                 w, h = i % 8 + 1, i % 6 + 1
                 vals = [(i * 7 + p * 13) % 256 for p in range(w * h)]
                 return encode_png_gray8(w, h, vals)  # filters cycle 0..4
-            ch = 1 if i % 4 == 1 else 2
+            if m == 2:
+                w, h = i % 7 + 1, i % 5 + 1
+                vals = [(i * 11 + p * 17) % 256 for p in range(w * h)]
+                return encode_gif_gray8(w, h, vals)  # real LZW stream
+            ch = i % 2 + 1
             n = (i % 50 + 1) * ch
             samples = [((i * 31 + j * 7) % 65536) - 32768 for j in range(n)]
             return encode_wav_pcm16(samples, sample_rate=8000 + i % 40000, channels=ch)

@@ -118,12 +118,45 @@ def test_wav_roundtrip():
     assert fmt == "wav" and vals == samples
 
 
-def test_decode_values_gif_jpeg_stub_unknown_none():
-    with pytest.raises(NotImplementedError):
-        MM.decode_values(_gif(10, 10))
+def test_decode_values_jpeg_stub_unknown_none():
+    # jpeg entropy decode (Huffman+DCT) is the one remaining stub
     with pytest.raises(NotImplementedError):
         MM.decode_values(_jpeg(10, 10))
     assert MM.decode_values(b"just some text bytes") == ("unknown", None)
+    # a header-only GIF with no image block is a corrupt payload, not a stub
+    with pytest.raises(ValueError):
+        MM.decode_values(_gif(10, 10))
+
+
+def test_gif_lzw_roundtrip_and_handbuilt_stream():
+    import random
+
+    random.seed(7)
+    # round-trip through every code width (9→12 bit) and the overflow CLEAR
+    data = bytes([random.randrange(256) for _ in range(20000)])
+    assert MM._lzw_decode_gif(MM._lzw_encode_gif(data, 8), 8) == data
+    # KwKwK self-reference case
+    runs = b"a" * 50
+    assert MM._lzw_decode_gif(MM._lzw_encode_gif(runs, 8), 8) == runs
+
+    # encoder-independent: hand-built literal-code stream (spec convention)
+    bw = MM._LZWBitWriter()
+    bw.write(256, 9)  # CLEAR
+    for p in [10, 20, 30, 10, 20]:
+        bw.write(p, 9)
+    bw.write(257, 9)  # END
+    assert MM._lzw_decode_gif(bw.finish(), 8) == bytes([10, 20, 30, 10, 20])
+
+
+def test_gif_container_roundtrip_with_extension_skip():
+    vals = [(i * 11 + 3) % 256 for i in range(37 * 23)]
+    g = MM.encode_gif_gray8(37, 23, vals)
+    assert MM.decode_gif_gray(g) == vals
+    assert MM.decode_values(g) == ("gif", vals)
+    # inject a comment-extension block before the image descriptor:
+    # the decoder must skip its sub-blocks (13-byte header + 768-byte GCT)
+    g2 = g[: 13 + 768] + b"\x21\xfe\x05hello\x00" + g[13 + 768 :]
+    assert MM.decode_gif_gray(g2) == vals
 
 
 def test_decode_stats_df(spark):
