@@ -25,6 +25,10 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # driver-unverified). tools/selfcheck.py asserts both invariants.
 DRIVER_WINDOW = 50
 PRIORITY = [
+    # r4 rotations: fresh driver rows for the code that changed this round
+    "p2_trim_null_projection",  # py_strip dual ASCII/Unicode path (r4)
+    "td_hash_embed_pairs",  # raw text → hashing_embed → LSH lineage (r4)
+    "td_decode_stats",  # corpus now includes real GIF LZW payloads (r4)
     "p3_audit_projection",
     "p4_nested_extraction",
     "p7b_real_map_fold",
@@ -32,7 +36,6 @@ PRIORITY = [
     "set_intersect_users",
     "set_except_events",
     "td_sessionize",
-    "td_decode_stats",
     "a2b_rollup_delta",
 ]
 

@@ -2,10 +2,13 @@
 
 Image/audio/video payloads ride as `binary` columns; decode / feature
 extraction / resize / frame-sample run as Arrow-batched pandas functions
-over ``mapInPandas``. The decode itself is a deterministic fake here (the
-codec libraries aren't in this container — see STUB notes), but the
-Spark-side plumbing is real and tested: schema contracts, batch shapes,
-partition-parallel execution.
+over ``mapInPandas``. Every container format the sniffer recognizes has a
+REAL pixel/sample codec implemented here from the specs (no codec
+libraries in this container): PNG (zlib IDAT + all five scanline
+filters), GIF (full LZW), baseline JPEG (canonical Huffman + IDCT), WAV
+(PCM16). The only remaining fake is ``embed_stub`` for binary-payload
+MODEL embeddings (torch not in container); text embeddings are real
+(operators/similarity.hashing_embed).
 """
 
 from __future__ import annotations
@@ -79,8 +82,7 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # REAL header parsing — pure byte inspection, no codec libraries needed.
-# Pixel/sample decode for png/wav is REAL too (stdlib zlib/struct, below);
-# only gif/jpeg entropy decode remains NotImplementedError.
+# Pixel/sample decode for png/gif/jpeg/wav is REAL too (below).
 # ---------------------------------------------------------------------------
 
 MEDIA_META_SCHEMA = T.StructType(
@@ -166,10 +168,10 @@ def media_meta(df: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# REAL pixel/sample codecs — pure stdlib (zlib + struct), no PIL/ffmpeg.
-# PNG: 8-bit grayscale encode/decode with all five scanline filters.
-# WAV: PCM16 encode/decode. gif/jpeg entropy decode stays NotImplementedError
-# (needs LZW/DCT codec libraries this container doesn't have).
+# REAL pixel/sample codecs — pure stdlib (+ numpy for the JPEG DCT), no
+# PIL/ffmpeg. PNG: 8-bit grayscale encode/decode with all five scanline
+# filters. WAV: PCM16. GIF: full LZW (below). JPEG: baseline grayscale
+# Huffman + IDCT (below).
 # ---------------------------------------------------------------------------
 
 
@@ -523,21 +525,311 @@ def decode_gif_gray(b: bytes) -> list[int]:
     raise ValueError("GIF image block not found")
 
 
+# --- JPEG: REAL baseline codec (grayscale), stdlib + numpy ----------------
+# Full ITU T.81 baseline path for 8-bit grayscale: DQT/SOF0/DHT/SOS segment
+# walk, canonical Huffman tables read from the file, MSB-first bit reader
+# with 0xFF00 unstuffing, DC-difference + AC run-length entropy decode,
+# dequantize, dezigzag, float IDCT (orthonormal DCT-II matrix), level
+# shift, clamp. The encoder writes the same structures (its own canonical
+# tables — decoders read tables from DHT, so Annex-K parity isn't needed).
+# JPEG is lossy in general, but an image whose 8×8 blocks are constant has
+# only a DC coefficient, which survives quantization at q=1 EXACTLY — the
+# oracle fixtures use that to make decoded values closed-form-checkable.
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+# our canonical tables: all 12 DC categories at 4 bits; all 162 AC symbols
+# at 8 bits (162 < 255, so the all-ones code is never assigned)
+_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_DC_VALS = list(range(12))
+_AC_VALS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_AC_BITS = [0] * 7 + [len(_AC_VALS)] + [0] * 8
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """JPEG canonical Huffman: symbol -> (code, length)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_matrix() -> "object":
+    import numpy as np
+
+    n = 8
+    c = np.zeros((n, n))
+    for k in range(n):
+        for i in range(n):
+            c[k, i] = np.sqrt((1 if k else 0.5) * 2 / n) * np.cos(
+                (2 * i + 1) * k * np.pi / (2 * n)
+            )
+    return c
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-pad to byte boundary
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, appended bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    t = abs(v).bit_length()
+    return t, (v if v > 0 else v + (1 << t) - 1)
+
+
+def encode_jpeg_gray8(width: int, height: int, values, quant: int = 1) -> bytes:
+    """Minimal REAL baseline-JPEG encoder: 8-bit grayscale, flat quant
+    table (default q=1: constant 8×8 blocks round-trip exactly), canonical
+    Huffman tables written to DHT, real DCT + entropy coding."""
+    import struct
+
+    import numpy as np
+
+    assert len(values) == width * height
+    img = np.asarray([int(v) & 0xFF for v in values], dtype=np.float64).reshape(
+        height, width
+    )
+    bh, bw = (height + 7) // 8, (width + 7) // 8
+    padded = np.pad(img, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge")
+    C = _dct_matrix()
+    qtab = np.full(64, quant, dtype=np.int64)
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+
+    bwr = _JpegBitWriter()
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = C @ block @ C.T
+            zz = np.array(
+                [int(round(coef.flat[_ZIGZAG[i]] / qtab[i])) for i in range(64)]
+            )
+            t, extra = _magnitude(int(zz[0]) - prev_dc)
+            prev_dc = int(zz[0])
+            code, ln = dc_codes[t]
+            bwr.write(code, ln)
+            if t:
+                bwr.write(extra, t)
+            run = 0
+            for i in range(1, 64):
+                if zz[i] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c0, l0 = ac_codes[0xF0]  # ZRL
+                    bwr.write(c0, l0)
+                    run -= 16
+                t, extra = _magnitude(int(zz[i]))
+                c0, l0 = ac_codes[(run << 4) | t]
+                bwr.write(c0, l0)
+                bwr.write(extra, t)
+                run = 0
+            if run:
+                c0, l0 = ac_codes[0x00]  # EOB
+                bwr.write(c0, l0)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0]) + bytes(int(q) for q in qtab))
+    sof = seg(
+        0xC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    )
+    dht = seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)) + seg(
+        0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (
+        b"\xff\xd8" + dqt + sof + dht + sos + bwr.finish() + b"\xff\xd9"
+    )
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed 0xFF data byte
+                else:
+                    raise ValueError("unexpected marker inside entropy data")
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+        out = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return out
+
+
+def _huff_decode(br: "_JpegBitReader", table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length <= 16:
+        code = (code << 1) | br.read(1)
+        length += 1
+        if (code, length) in table:
+            return table[(code, length)]
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _extend(v: int, t: int) -> int:
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg_gray8(b: bytes) -> list[int]:
+    """REAL baseline-JPEG decode for 8-bit grayscale: full segment walk,
+    canonical Huffman from DHT, entropy decode, dequantize, IDCT. Raises
+    NotImplementedError for progressive or multi-component (color) scans."""
+    import struct
+
+    import numpy as np
+
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    i = 2
+    qtabs: dict[int, list[int]] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    width = height = None
+    comp_q = 0
+    data = None
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            raise ValueError("bad JPEG segment alignment")
+        marker = b[i + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", b[i + 2 : i + 4])
+        body = b[i + 4 : i + 2 + ln]
+        if marker == 0xDB:
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                qtabs[tq] = list(body[j + 1 : j + 65])
+                j += 65
+        elif marker in (0xC1, 0xC2):
+            raise NotImplementedError("only baseline sequential JPEG supported")
+        elif marker == 0xC0:
+            _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if ncomp != 1:
+                raise NotImplementedError("only grayscale (1-component) JPEG supported")
+            comp_q = body[8]
+        elif marker == 0xC4:
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                bits = list(body[j + 1 : j + 17])
+                nvals = sum(bits)
+                vals = list(body[j + 17 : j + 17 + nvals])
+                codes = _canonical_codes(bits, vals)
+                htabs[(tc, th)] = {(c, l): sym for sym, (c, l) in codes.items()}
+                j += 17 + nvals
+        elif marker == 0xDA:
+            ns = body[0]
+            if ns != 1:
+                raise NotImplementedError("only single-component scans supported")
+            dc_t, ac_t = body[2] >> 4, body[2] & 0x0F
+            data = b[i + 2 + ln :]
+            break
+        i += 2 + ln
+    if width is None or data is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+
+    # strip the EOI and decode the entropy stream
+    end = data.rfind(b"\xff\xd9")
+    br = _JpegBitReader(data[: end if end >= 0 else len(data)])
+    dc_table, ac_table = htabs[(0, dc_t)], htabs[(1, ac_t)]
+    q = np.asarray(qtabs[comp_q], dtype=np.float64)
+    C = _dct_matrix()
+    bh, bw = (height + 7) // 8, (width + 7) // 8
+    out = np.zeros((bh * 8, bw * 8))
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            zz = np.zeros(64)
+            t = _huff_decode(br, dc_table)
+            diff = _extend(br.read(t), t) if t else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = _huff_decode(br, ac_table)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, size = sym >> 4, sym & 0x0F
+                k += run
+                if k > 63:
+                    raise ValueError("AC coefficient index overflow")
+                zz[k] = _extend(br.read(size), size)
+                k += 1
+            coef = np.zeros(64)
+            coef[_ZIGZAG] = zz * q
+            block = C.T @ coef.reshape(8, 8) @ C + 128.0
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    img = np.clip(np.rint(out[:height, :width]), 0, 255).astype(np.int64)
+    return [int(v) for v in img.reshape(-1)]
+
+
 def decode_values(b: bytes) -> tuple[str, list[int] | None]:
     """(format, decoded values) — REAL decode for png (pixels), gif (LZW
-    pixels), wav (PCM samples). jpeg entropy decode (Huffman+DCT) is the one
-    remaining NotImplementedError; unknown formats → None."""
+    pixels), jpeg (baseline grayscale: Huffman + IDCT), wav (PCM samples);
+    unknown formats → None. Every container format the sniffer knows now
+    has a real pixel/sample path — no codec stubs remain."""
     fmt = _parse_header(bytes(b))[0]
     if fmt == "png":
         return "png", decode_png_gray8(bytes(b))
     if fmt == "gif":
         return "gif", decode_gif_gray(bytes(b))
+    if fmt == "jpeg":
+        return "jpeg", decode_jpeg_gray8(bytes(b))
     if fmt == "wav":
         return "wav", decode_wav_pcm16(bytes(b))
-    if fmt == "jpeg":
-        raise NotImplementedError(
-            "jpeg pixel decode needs an entropy codec (Huffman+DCT) not in this container"
-        )
     return "unknown", None
 
 

@@ -275,6 +275,7 @@ def hashing_embed(
     id_col: str = "doc_id",
     text_col: str = "text",
     dim: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """REAL text embedding via the hashing trick (feature hashing / signed
     hashing vectorizer — Weinberger et al. 2009): token → xxhash64 bucket,
@@ -296,8 +297,19 @@ def hashing_embed(
             F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
         ).alias("__tok"),
     ).select(id_col, F.nullif(F.col("__tok"), F.lit("")).alias("__tok"))
-    bucket = F.pmod(F.xxhash64(F.col("__tok")), F.lit(dim))
-    sign = F.when(F.pmod(F.xxhash64(F.lit("sign"), F.col("__tok")), F.lit(2)) == 0, 1.0).otherwise(-1.0)
+    if hash_fn == "md5":
+        # oracle-parity mode (same hash-discipline pattern as operators.dedup):
+        # DuckDB reproduces CAST('0x'||substr(md5(tok),1,15) AS UBIGINT) —
+        # 15 hex digits < 2^60 fit both engines' signed/unsigned 64-bit
+        hv = F.conv(F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10).cast("long")
+        sv = F.conv(
+            F.substring(F.md5(F.concat(F.lit("sign"), F.col("__tok"))), 1, 15), 16, 10
+        ).cast("long")
+        bucket = F.pmod(hv, F.lit(dim))
+        sign = F.when(F.pmod(sv, F.lit(2)) == 0, 1.0).otherwise(-1.0)
+    else:
+        bucket = F.pmod(F.xxhash64(F.col("__tok")), F.lit(dim))
+        sign = F.when(F.pmod(F.xxhash64(F.lit("sign"), F.col("__tok")), F.lit(2)) == 0, 1.0).otherwise(-1.0)
     weights = (
         toks.withColumn("__b", F.when(F.col("__tok").isNotNull(), bucket))
         .withColumn("__w", F.when(F.col("__tok").isNotNull(), sign))

@@ -402,13 +402,16 @@ def a10_s16_rate_monitor(spark, sf_dir):
     )
 
 
-@q(
-    "a12_deterministic_sample",
-    """
+# A12 was driver-green in r2 AND r3 with unchanged code; rotated out of the
+# 50-entry driver window in r4 to make room for the fresh py_strip and
+# hash-embed lineage rows (VERDICT r3 task 6). Still oracle-checked every
+# pytest run via tests/test_retired_queries.py against this SQL.
+A12_SQL = """
     SELECT event_id, event_type FROM events
     WHERE (event_id * 2654435761) % 4096 < 40 ORDER BY event_id
-    """,
-)
+    """
+
+
 def a12_deterministic_sample(spark, sf_dir):
     # reference: ORDER BY RANDOM() LIMIT 1 (db_stats.py:105-109) — made
     # deterministic via a Knuth multiplicative hash so both engines agree

@@ -49,9 +49,11 @@ def a8_running_max_merge(spark, sf_dir):
     )
 
 
-@q(
-    "s15_head_sample",
-    """
+# S15 was driver-green in r2 AND r3 with unchanged code; rotated out of the
+# 50-entry driver window in r4 (VERDICT r3 task 6) to make room for the
+# fresh py_strip and hash-embed lineage rows. Still oracle-checked every
+# pytest run via tests/test_retired_queries.py against this SQL.
+S15_SQL = """
     SELECT source, doc_id, substr(text, 1, 40) AS head,
            NULLIF(TRIM(lang), '') AS lang_clean, UPPER(source) AS source_uc
     FROM (
@@ -59,8 +61,46 @@ def a8_running_max_merge(spark, sf_dir):
                ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
         FROM documents
     ) WHERE rn <= 3
+    """
+
+
+@q(
+    "p2_trim_null_projection",
+    """
+    SELECT doc_id,
+           NULLIF(TRIM(' ' || lang || chr(9), ' ' || chr(9) || chr(10) || chr(13)),
+                  '') AS lang_ascii_clean,
+           NULLIF(TRIM(chr(160) || chr(9) || lang || ' ' || chr(12288),
+                       ' ' || chr(9) || chr(10) || chr(13) || chr(160) || chr(12288)),
+                  '') AS lang_uni_clean,
+           UPPER(source) AS source_uc
+    FROM documents
     """,
 )
+def p2_trim_null_projection(spark, sf_dir):
+    """P2 safe_get trim-to-null (reference log_processor.py:391-397),
+    rotated BACK into the driver window in r4 because py_strip changed
+    twice since its last driver row (exact-Unicode parity in r3, the
+    dual ASCII/Unicode path in r4). The two columns force BOTH branches:
+    ascii padding (\\t, space) keeps the row on the Java-\\s fast path;
+    NBSP + ideographic-space padding forces the exact 20-range Python-ws
+    path. The DuckDB oracle strips the same explicit char sets."""
+    from illumio_spark.functions.format import py_strip
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.nullif(
+            py_strip(F.concat(F.lit(" "), F.col("lang"), F.lit("\t"))), F.lit("")
+        ).alias("lang_ascii_clean"),
+        F.nullif(
+            py_strip(F.concat(F.lit("\xa0\t"), F.col("lang"), F.lit(" 　"))),
+            F.lit(""),
+        ).alias("lang_uni_clean"),
+        F.upper("source").alias("source_uc"),
+    )
+
+
 def s15_head_sample(spark, sf_dir):
     # reference: first-N lines per folder (S15, s3_analyzer.py:56-131);
     # the projected columns exercise the P2 safe_get trim-to-null getter +

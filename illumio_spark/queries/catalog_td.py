@@ -381,6 +381,93 @@ def td_embedding_neardup(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def _hash_embed_sql(dim: int = 64, n_planes: int = 8, n_tables: int = 9,
+                    threshold: float = 0.9) -> str:
+    """DuckDB oracle for the FULL raw-text → feature-hash-embed → LSH →
+    near-dup lineage: tokenize, md5 bucket/sign (the operator's oracle-
+    parity hash mode), signed counts, l2-normalized dense vector, seeded
+    hyperplane buckets, pair join, exact cosine ≥ threshold. Every
+    arithmetic step is exact-integer or identically-rounded IEEE double
+    on both engines (signed counts are integers; the norm is one sqrt)."""
+    eb_union = "\n      UNION ALL ".join(
+        f"SELECT doc_id, v, {t} AS tbl, {_bucket_sql_expr('v', t, n_planes, dim)} AS bucket FROM vecs"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 150
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text || ' zzneardup' AS text
+        FROM documents WHERE doc_id < 20
+    ),
+    tk AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM corpus
+    ),
+    w AS (
+        SELECT doc_id,
+               CAST(CAST(concat('0x', substr(md5(tok), 1, 15)) AS UBIGINT) % {dim}
+                    AS INTEGER) AS b,
+               CASE WHEN CAST(concat('0x', substr(md5('sign' || tok), 1, 15)) AS UBIGINT)
+                         % 2 = 0 THEN CAST(1.0 AS DOUBLE)
+                    ELSE CAST(-1.0 AS DOUBLE) END AS s
+        FROM tk WHERE tok <> ''
+    ),
+    wb AS (SELECT doc_id, b, SUM(s) AS wt FROM w GROUP BY doc_id, b),
+    m AS (SELECT doc_id, map(list(b), list(wt)) AS mp FROM wb GROUP BY doc_id),
+    raw AS (
+        SELECT doc_id,
+               list_transform(range(0, {dim}),
+                              i -> coalesce(mp[CAST(i AS INTEGER)][1],
+                                            CAST(0.0 AS DOUBLE))) AS rv
+        FROM m
+    ),
+    vecs AS (
+        SELECT doc_id,
+               CASE WHEN sqrt(list_sum(list_transform(rv, x -> x * x))) > 0
+                    THEN list_transform(rv,
+                         x -> x / sqrt(list_sum(list_transform(rv, y -> y * y))))
+                    ELSE rv END AS v
+        FROM raw
+    ),
+    eb AS ({eb_union}),
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               any_value(a.v) AS va, any_value(b.v) AS vb
+        FROM eb a JOIN eb b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b FROM cand
+    WHERE list_cosine_similarity(va, vb) >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
+@q("td_hash_embed_pairs", _hash_embed_sql())
+def td_hash_embed_pairs(spark, sf_dir):
+    """Raw text → REAL feature-hashing embedding (Weinberger 2009) → LSH
+    bucket join → exact-cosine near-dup pairs, the full lineage under the
+    driver gate (VERDICT r3 task 8). The corpus injects one-appended-token
+    copies of doc_id < 20 whose hashed embeddings sit at cosine ≈ 1-1/(2n)
+    — far above the 0.9 cut — while unrelated docs fall far below it.
+    hash_fn='md5' is the oracle-parity mode; the engine default at scale
+    is xxhash64 (same plan shape, pytest-asserted equivalent pairs)."""
+    d = load(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") < 150).select("doc_id", "text")
+    near = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzneardup")).alias("text"),
+    )
+    emb = SIM.hashing_embed(base.unionByName(near), hash_fn="md5")
+    corpus = emb.select(F.col("doc_id").alias("vec_id"), F.col("embedding").alias("v"))
+    pairs = SIM.lsh_neardup_pairs(
+        corpus, "vec_id", "v", threshold=0.9, n_planes=8, dim=64, n_tables=9,
+        broadcast_vectors=True,
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -552,47 +639,50 @@ def td_media_sniff(spark, sf_dir):
 
 _DECODE_STATS_SQL = """
     WITH dims AS (
-        SELECT event_id, event_id % 3 AS m,
+        SELECT event_id, event_id % 4 AS m,
                event_id % 8 + 1 AS pw, event_id % 6 + 1 AS ph,
                event_id % 7 + 1 AS gw, event_id % 5 + 1 AS gh,
+               event_id % 3 + 1 AS jbx, event_id % 2 + 1 AS jby,
                (event_id % 50 + 1) * (event_id % 2 + 1) AS n_samp
         FROM events WHERE event_id < 800
+    ),
+    vals AS (
+        SELECT *,
+               CASE m
+               WHEN 0 THEN list_transform(range(0, pw * ph),
+                    p -> (event_id * 7 + p * 13) % 256)
+               WHEN 1 THEN list_transform(range(0, n_samp),
+                    j -> ((event_id * 31 + j * 7) % 65536) - 32768)
+               WHEN 2 THEN list_transform(range(0, gw * gh),
+                    p -> (event_id * 11 + p * 17) % 256)
+               ELSE list_transform(range(0, jby * jbx),
+                    k -> 64 * ((event_id * 13 + (k // jbx) * 5 + (k % jbx) * 3) % 256))
+               END AS v,
+               CASE m WHEN 0 THEN pw * ph WHEN 1 THEN n_samp
+                      WHEN 2 THEN gw * gh ELSE jby * jbx * 64 END AS nv
+        FROM dims
     )
     SELECT event_id,
-           CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'gif' END AS media_format,
-           CAST(CASE m WHEN 0 THEN pw * ph WHEN 1 THEN n_samp ELSE gw * gh
-                END AS BIGINT) AS n_values,
-           CAST(CASE m
-                WHEN 0 THEN list_sum(list_transform(range(0, pw * ph),
-                     p -> (event_id * 7 + p * 13) % 256))
-                WHEN 1 THEN list_sum(list_transform(range(0, n_samp),
-                     j -> ((event_id * 31 + j * 7) % 65536) - 32768))
-                ELSE list_sum(list_transform(range(0, gw * gh),
-                     p -> (event_id * 11 + p * 17) % 256))
-                END AS BIGINT) AS val_sum,
-           ROUND(CAST(CASE m
-                WHEN 0 THEN list_sum(list_transform(range(0, pw * ph),
-                     p -> (event_id * 7 + p * 13) % 256))
-                WHEN 1 THEN list_sum(list_transform(range(0, n_samp),
-                     j -> ((event_id * 31 + j * 7) % 65536) - 32768))
-                ELSE list_sum(list_transform(range(0, gw * gh),
-                     p -> (event_id * 11 + p * 17) % 256))
-                END AS DOUBLE)
-                / (CASE m WHEN 0 THEN pw * ph WHEN 1 THEN n_samp ELSE gw * gh END),
-                6) AS val_mean
-    FROM dims
+           CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+                  WHEN 2 THEN 'gif' ELSE 'jpeg' END AS media_format,
+           CAST(nv AS BIGINT) AS n_values,
+           CAST(list_sum(v) AS BIGINT) AS val_sum,
+           ROUND(CAST(list_sum(v) AS DOUBLE) / nv, 6) AS val_mean
+    FROM vals
 """
 
 
 @q("td_decode_stats", _DECODE_STATS_SQL)
 def td_decode_stats(spark, sf_dir):
     """REAL pixel/sample decode, oracle-checked end-to-end: payloads are
-    genuine PNG (zlib IDAT, filter types cycling 0-4 per row), WAV (PCM16)
-    and GIF (real LZW compression, 256-gray palette) containers generated
-    from event_id; decode_stats must inflate + unfilter / unpack / LZW-
-    expand back EXACTLY the generating values, which the oracle recomputes
-    in closed form. Any bug in the inflate/unfilter/PCM/LZW path flips the
-    sum and fails the hash gate."""
+    genuine PNG (zlib IDAT, filter types cycling 0-4 per row), WAV (PCM16),
+    GIF (real LZW compression, 256-gray palette) and baseline JPEG (real
+    Huffman + IDCT; constant 8×8 blocks at q=1 decode EXACTLY, making the
+    lossy format closed-form-checkable) containers generated from event_id;
+    decode_stats must inflate + unfilter / unpack / LZW-expand /
+    entropy-decode back EXACTLY the generating values, which the oracle
+    recomputes in closed form. Any bug in any codec path flips the sum and
+    fails the hash gate."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -601,6 +691,7 @@ def td_decode_stats(spark, sf_dir):
     from illumio_spark.functions.multimodal import (
         decode_stats,
         encode_gif_gray8,
+        encode_jpeg_gray8,
         encode_png_gray8,
         encode_wav_pcm16,
     )
@@ -609,7 +700,7 @@ def td_decode_stats(spark, sf_dir):
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def payload(i: int) -> bytes:
-            m = i % 3
+            m = i % 4
             if m == 0:
                 w, h = i % 8 + 1, i % 6 + 1
                 vals = [(i * 7 + p * 13) % 256 for p in range(w * h)]
@@ -618,6 +709,15 @@ def td_decode_stats(spark, sf_dir):
                 w, h = i % 7 + 1, i % 5 + 1
                 vals = [(i * 11 + p * 17) % 256 for p in range(w * h)]
                 return encode_gif_gray8(w, h, vals)  # real LZW stream
+            if m == 3:
+                nbx, nby = i % 3 + 1, i % 2 + 1
+                w, h = nbx * 8, nby * 8
+                vals = [
+                    (i * 13 + (y // 8) * 5 + (x // 8) * 3) % 256
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                return encode_jpeg_gray8(w, h, vals)  # constant blocks, q=1
             ch = i % 2 + 1
             n = (i % 50 + 1) * ch
             samples = [((i * 31 + j * 7) % 65536) - 32768 for j in range(n)]

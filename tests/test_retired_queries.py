@@ -1,0 +1,46 @@
+"""Queries rotated out of the driver's 50-entry window keep full
+oracle-equality coverage HERE (VERDICT r3 task 6: retirement must not mean
+unverified). Same compare the driver runs: row count + sorted-values
+equality vs DuckDB on the identical parquet tables."""
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["events", "documents"]
+
+
+def _oracle(sql: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    out = con.execute(sql).fetchdf()
+    con.close()
+    return out
+
+
+def _compare(spark_df, sql: str):
+    got = spark_df.toPandas()
+    want = _oracle(sql)
+    assert len(got) == len(want)
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        assert g[c].where(g[c].notna(), None).tolist() == \
+            w[c].where(w[c].notna(), None).tolist(), f"column {c} differs"
+
+
+def test_a12_deterministic_sample_matches_oracle(spark):
+    from illumio_spark.queries.catalog import A12_SQL, a12_deterministic_sample
+
+    _compare(a12_deterministic_sample(spark, SF), A12_SQL)
+
+
+def test_s15_head_sample_matches_oracle(spark):
+    from illumio_spark.queries.catalog_ext import S15_SQL, s15_head_sample
+
+    _compare(s15_head_sample(spark, SF), S15_SQL)

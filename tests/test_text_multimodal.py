@@ -118,14 +118,43 @@ def test_wav_roundtrip():
     assert fmt == "wav" and vals == samples
 
 
-def test_decode_values_jpeg_stub_unknown_none():
-    # jpeg entropy decode (Huffman+DCT) is the one remaining stub
-    with pytest.raises(NotImplementedError):
-        MM.decode_values(_jpeg(10, 10))
+def test_decode_values_corrupt_and_unknown():
     assert MM.decode_values(b"just some text bytes") == ("unknown", None)
-    # a header-only GIF with no image block is a corrupt payload, not a stub
+    # a header-only GIF with no image block is a corrupt payload
     with pytest.raises(ValueError):
         MM.decode_values(_gif(10, 10))
+    # the _jpeg fixture declares 3 components — color decode is the
+    # documented unsupported variant (grayscale baseline is real)
+    with pytest.raises(NotImplementedError):
+        MM.decode_values(_jpeg(10, 10))
+
+
+def test_jpeg_constant_blocks_roundtrip_exactly():
+    # constant 8×8 blocks have only a DC coefficient, which survives q=1
+    # quantization exactly — the lossy format becomes exactly checkable
+    w, h = 24, 16
+    vals = [((y // 8) * 3 + (x // 8) * 7 + 13) % 256 for y in range(h) for x in range(w)]
+    j = MM.encode_jpeg_gray8(w, h, vals)
+    assert MM.decode_values(j) == ("jpeg", vals)
+
+
+def test_jpeg_arbitrary_image_near_lossless_at_q1():
+    import random
+
+    random.seed(3)
+    w, h = 19, 13  # non-multiple-of-8 dims exercise edge padding
+    vals = [random.randrange(256) for _ in range(w * h)]
+    dec = MM.decode_jpeg_gray8(MM.encode_jpeg_gray8(w, h, vals))
+    assert len(dec) == len(vals)
+    # q=1 keeps every DCT coefficient; the only error is float rounding
+    assert max(abs(a - b) for a, b in zip(dec, vals)) <= 1
+
+
+def test_jpeg_rejects_unsupported_variants():
+    j = MM.encode_jpeg_gray8(8, 8, list(range(64)))
+    progressive = j.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError):
+        MM.decode_jpeg_gray8(progressive)
 
 
 def test_gif_lzw_roundtrip_and_handbuilt_stream():
