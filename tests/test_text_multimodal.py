@@ -150,6 +150,29 @@ def test_jpeg_arbitrary_image_near_lossless_at_q1():
     assert max(abs(a - b) for a, b in zip(dec, vals)) <= 1
 
 
+def test_resize_images_df(spark):
+    # decode(any format) → bilinear resample → PNG re-encode, end to end
+    # through the Spark surface; constant images resize EXACTLY
+    png = MM.encode_png_gray8(8, 6, [40] * 48)
+    gif = MM.encode_gif_gray8(10, 4, [200] * 40)
+    # two constant 8×8 blocks side by side (left 7, right 250): exact decode
+    jpg = MM.encode_jpeg_gray8(16, 8, ([7] * 8 + [250] * 8) * 8)
+    wav = MM.encode_wav_pcm16([1, 2, 3], 8000, 1)
+    df = spark.createDataFrame(
+        [(0, bytearray(png)), (1, bytearray(gif)), (2, bytearray(jpg)),
+         (3, bytearray(wav)), (4, None)],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in MM.resize_images(df, 4, 4).collect()}
+    assert (out[0].out_width, out[0].out_height) == (4, 4)
+    assert MM.decode_png_gray8(bytes(out[0].resized_png)) == [40] * 16
+    assert MM.decode_png_gray8(bytes(out[1].resized_png)) == [200] * 16
+    # the jpeg is two constant half-images: every resized row is [7,7,250,250]
+    assert MM.decode_png_gray8(bytes(out[2].resized_png)) == [7, 7, 250, 250] * 4
+    assert out[3].media_format == "wav" and out[3].resized_png is None
+    assert out[4].media_format is None and out[4].resized_png is None
+
+
 def test_jpeg_rejects_unsupported_variants():
     j = MM.encode_jpeg_gray8(8, 8, list(range(64)))
     progressive = j.replace(b"\xff\xc0", b"\xff\xc2", 1)
