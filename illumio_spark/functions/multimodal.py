@@ -709,34 +709,10 @@ def encode_jpeg_gray8(width: int, height: int, values, quant: int = 1) -> bytes:
     prev_dc = 0
     for by in range(bh):
         for bx in range(bw):
-            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-            coef = C @ block @ C.T
-            zz = np.array(
-                [int(round(coef.flat[_ZIGZAG[i]] / qtab[i])) for i in range(64)]
+            prev_dc = _encode_block(
+                bwr, padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                qtab, prev_dc, dc_codes, ac_codes, C,
             )
-            t, extra = _magnitude(int(zz[0]) - prev_dc)
-            prev_dc = int(zz[0])
-            code, ln = dc_codes[t]
-            bwr.write(code, ln)
-            if t:
-                bwr.write(extra, t)
-            run = 0
-            for i in range(1, 64):
-                if zz[i] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    c0, l0 = ac_codes[0xF0]  # ZRL
-                    bwr.write(c0, l0)
-                    run -= 16
-                t, extra = _magnitude(int(zz[i]))
-                c0, l0 = ac_codes[(run << 4) | t]
-                bwr.write(c0, l0)
-                bwr.write(extra, t)
-                run = 0
-            if run:
-                c0, l0 = ac_codes[0x00]  # EOB
-                bwr.write(c0, l0)
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -751,6 +727,111 @@ def encode_jpeg_gray8(width: int, height: int, values, quant: int = 1) -> bytes:
     sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     return (
         b"\xff\xd8" + dqt + sof + dht + sos + bwr.finish() + b"\xff\xd9"
+    )
+
+
+def _encode_block(bwr, block, qtab, prev_dc, dc_codes, ac_codes, C):
+    """DCT + quantize + entropy-code one 8×8 float block; returns new DC."""
+    import numpy as np
+
+    coef = C @ (block - 128.0) @ C.T
+    zz = [int(round(coef.flat[_ZIGZAG[i]] / qtab[i])) for i in range(64)]
+    t, extra = _magnitude(zz[0] - prev_dc)
+    code, ln = dc_codes[t]
+    bwr.write(code, ln)
+    if t:
+        bwr.write(extra, t)
+    run = 0
+    for i in range(1, 64):
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            c0, l0 = ac_codes[0xF0]
+            bwr.write(c0, l0)
+            run -= 16
+        t, extra = _magnitude(zz[i])
+        c0, l0 = ac_codes[(run << 4) | t]
+        bwr.write(c0, l0)
+        bwr.write(extra, t)
+        run = 0
+    if run:
+        c0, l0 = ac_codes[0x00]
+        bwr.write(c0, l0)
+    return zz[0]
+
+
+def encode_jpeg_ycbcr(
+    width: int, height: int, y, cb, cr, subsample: str = "420", quant: int = 1
+) -> bytes:
+    """REAL color baseline-JPEG encoder: three YCbCr components with
+    interleaved MCUs — 4:4:4 (chroma at full resolution, MCU = 8×8) or
+    4:2:0 (chroma planes at ceil(w/2)×ceil(h/2), MCU = 16×16 with four Y
+    blocks). Per-component DC predictors, shared flat quant table and
+    canonical Huffman tables (read back from DHT by any decoder)."""
+    import struct
+
+    import numpy as np
+
+    if subsample == "444":
+        samps = [(1, 1), (1, 1), (1, 1)]
+        cw, ch = width, height
+    elif subsample == "420":
+        samps = [(2, 2), (1, 1), (1, 1)]
+        cw, ch = (width + 1) // 2, (height + 1) // 2
+    else:
+        raise ValueError(f"unknown subsample mode {subsample!r}")
+    assert len(y) == width * height
+    assert len(cb) == cw * ch and len(cr) == cw * ch
+    hmax = max(h for h, _ in samps)
+    vmax = max(v for _, v in samps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+
+    dims = [(width, height), (cw, ch), (cw, ch)]
+    planes = []
+    for (pw, ph), (hs, vs), vals in zip(dims, samps, (y, cb, cr)):
+        img = np.asarray([int(v) & 0xFF for v in vals], dtype=np.float64).reshape(ph, pw)
+        planes.append(
+            np.pad(img, ((0, mcuy * vs * 8 - ph), (0, mcux * hs * 8 - pw)), mode="edge")
+        )
+
+    C = _dct_matrix()
+    qtab = np.full(64, quant, dtype=np.int64)
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    bwr = _JpegBitWriter()
+    prev_dc = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, ((hs, vs), pl) in enumerate(zip(samps, planes)):
+                for v in range(vs):
+                    for h in range(hs):
+                        y0 = (my * vs + v) * 8
+                        x0 = (mx * hs + h) * 8
+                        prev_dc[ci] = _encode_block(
+                            bwr, pl[y0 : y0 + 8, x0 : x0 + 8], qtab,
+                            prev_dc[ci], dc_codes, ac_codes, C,
+                        )
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    sof_body = struct.pack(">BHHB", 8, height, width, 3) + b"".join(
+        bytes([k + 1, (hs << 4) | vs, 0]) for k, (hs, vs) in enumerate(samps)
+    )
+    sos_body = bytes([3]) + b"".join(bytes([k + 1, 0x00]) for k in range(3)) + bytes(
+        [0, 63, 0]
+    )
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes(int(q) for q in qtab))
+        + seg(0xC0, sof_body)
+        + seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+        + seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+        + seg(0xDA, sos_body)
+        + bwr.finish()
+        + b"\xff\xd9"
     )
 
 
@@ -795,10 +876,37 @@ def _extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def decode_jpeg_gray8(b: bytes) -> list[int]:
-    """REAL baseline-JPEG decode for 8-bit grayscale: full segment walk,
-    canonical Huffman from DHT, entropy decode, dequantize, IDCT. Raises
-    NotImplementedError for progressive or multi-component (color) scans."""
+def _decode_block(br, dc_table, ac_table, prev_dc: int):
+    import numpy as np
+
+    zz = np.zeros(64)
+    t = _huff_decode(br, dc_table)
+    diff = _extend(br.read(t), t) if t else 0
+    prev_dc += diff
+    zz[0] = prev_dc
+    k = 1
+    while k < 64:
+        sym = _huff_decode(br, ac_table)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, size = sym >> 4, sym & 0x0F
+        k += run
+        if k > 63:
+            raise ValueError("AC coefficient index overflow")
+        zz[k] = _extend(br.read(size), size)
+        k += 1
+    return zz, prev_dc
+
+
+def _decode_jpeg_planes(b: bytes):
+    """General baseline decoder: full segment walk, interleaved MCU scan
+    with per-component sampling factors (4:4:4, 4:2:0, 4:2:2, ...),
+    per-component DC predictors and quant/Huffman selectors. Returns
+    (width, height, [plane arrays], [(h_samp, v_samp)]) — each plane at
+    its own subsampled resolution. Progressive raises NotImplementedError."""
     import struct
 
     import numpy as np
@@ -809,7 +917,8 @@ def decode_jpeg_gray8(b: bytes) -> list[int]:
     qtabs: dict[int, list[int]] = {}
     htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = None
-    comp_q = 0
+    comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
+    scan: list[tuple[int, int, int]] = []  # (comp_idx, dc_t, ac_t)
     data = None
     while i + 4 <= len(b):
         if b[i] != 0xFF:
@@ -831,9 +940,11 @@ def decode_jpeg_gray8(b: bytes) -> list[int]:
             raise NotImplementedError("only baseline sequential JPEG supported")
         elif marker == 0xC0:
             _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
-            if ncomp != 1:
-                raise NotImplementedError("only grayscale (1-component) JPEG supported")
-            comp_q = body[8]
+            comps = [
+                (body[6 + 3 * k], body[7 + 3 * k] >> 4, body[7 + 3 * k] & 0x0F,
+                 body[8 + 3 * k])
+                for k in range(ncomp)
+            ]
         elif marker == 0xC4:
             j = 0
             while j < len(body):
@@ -846,51 +957,83 @@ def decode_jpeg_gray8(b: bytes) -> list[int]:
                 j += 17 + nvals
         elif marker == 0xDA:
             ns = body[0]
-            if ns != 1:
-                raise NotImplementedError("only single-component scans supported")
-            dc_t, ac_t = body[2] >> 4, body[2] & 0x0F
+            by_id = {cid: k for k, (cid, *_r) in enumerate(comps)}
+            scan = [
+                (by_id[body[1 + 2 * s]], body[2 + 2 * s] >> 4, body[2 + 2 * s] & 0x0F)
+                for s in range(ns)
+            ]
             data = b[i + 2 + ln :]
             break
         i += 2 + ln
-    if width is None or data is None:
+    if width is None or data is None or not scan:
         raise ValueError("JPEG missing SOF0/SOS")
 
-    # strip the EOI and decode the entropy stream
     end = data.rfind(b"\xff\xd9")
     br = _JpegBitReader(data[: end if end >= 0 else len(data)])
-    dc_table, ac_table = htabs[(0, dc_t)], htabs[(1, ac_t)]
-    q = np.asarray(qtabs[comp_q], dtype=np.float64)
     C = _dct_matrix()
-    bh, bw = (height + 7) // 8, (width + 7) // 8
-    out = np.zeros((bh * 8, bw * 8))
-    prev_dc = 0
-    for by in range(bh):
-        for bx in range(bw):
-            zz = np.zeros(64)
-            t = _huff_decode(br, dc_table)
-            diff = _extend(br.read(t), t) if t else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = _huff_decode(br, ac_table)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, size = sym >> 4, sym & 0x0F
-                k += run
-                if k > 63:
-                    raise ValueError("AC coefficient index overflow")
-                zz[k] = _extend(br.read(size), size)
-                k += 1
-            coef = np.zeros(64)
-            coef[_ZIGZAG] = zz * q
-            block = C.T @ coef.reshape(8, 8) @ C + 128.0
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    img = np.clip(np.rint(out[:height, :width]), 0, 255).astype(np.int64)
-    return [int(v) for v in img.reshape(-1)]
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * v * 8, mcux * h * 8)) for _, h, v, _ in comps
+    ]
+    prev_dc = [0] * len(comps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, dc_t, ac_t in scan:
+                _, hs, vs, tq = comps[ci]
+                q = np.asarray(qtabs[tq], dtype=np.float64)
+                for v in range(vs):
+                    for h in range(hs):
+                        zz, prev_dc[ci] = _decode_block(
+                            br, htabs[(0, dc_t)], htabs[(1, ac_t)], prev_dc[ci]
+                        )
+                        coef = np.zeros(64)
+                        coef[_ZIGZAG] = zz * q
+                        block = C.T @ coef.reshape(8, 8) @ C + 128.0
+                        y0 = (my * vs + v) * 8
+                        x0 = (mx * hs + h) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    # crop each plane to its nominal subsampled size
+    out = []
+    for (_, hs, vs, _), pl in zip(comps, planes):
+        cw = (width * hs + hmax - 1) // hmax
+        ch = (height * vs + vmax - 1) // vmax
+        out.append(np.clip(np.rint(pl[:ch, :cw]), 0, 255).astype(np.int64))
+    return width, height, out, [(h, v) for _, h, v, _ in comps]
+
+
+def decode_jpeg_gray8(b: bytes) -> list[int]:
+    """REAL baseline-JPEG decode: grayscale pixels for 1-component files;
+    for color (3-component YCbCr) files, see decode_jpeg_ycbcr."""
+    _w, _h, planes, _samp = _decode_jpeg_planes(b)
+    if len(planes) != 1:
+        raise NotImplementedError(
+            "multi-component JPEG: use decode_jpeg_ycbcr for color files"
+        )
+    return [int(v) for v in planes[0].reshape(-1)]
+
+
+def decode_jpeg_ycbcr(b: bytes):
+    """Color baseline-JPEG decode: (width, height, y, cb, cr) with each
+    chroma plane at its own subsampled resolution (4:4:4 → full size,
+    4:2:0 → half each axis). Values are the real decoded YCbCr planes;
+    use ycbcr_to_rgb for display-space pixels."""
+    w, h, planes, samp = _decode_jpeg_planes(b)
+    if len(planes) != 3:
+        raise ValueError(f"expected 3 components, found {len(planes)}")
+    y, cb, cr = ([int(v) for v in p.reshape(-1)] for p in planes)
+    return w, h, y, cb, cr
+
+
+def ycbcr_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
+    """JFIF/ITU-R BT.601 full-range conversion, deterministic rounding."""
+    r = y + 1.402 * (cr - 128)
+    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    b = y + 1.772 * (cb - 128)
+    clamp = lambda v: max(0, min(255, int(round(v))))  # noqa: E731
+    return clamp(r), clamp(g), clamp(b)
 
 
 def decode_values(b: bytes) -> tuple[str, list[int] | None]:
@@ -904,7 +1047,10 @@ def decode_values(b: bytes) -> tuple[str, list[int] | None]:
     if fmt == "gif":
         return "gif", decode_gif_gray(bytes(b))
     if fmt == "jpeg":
-        return "jpeg", decode_jpeg_gray8(bytes(b))
+        # 1-component → gray pixels; color (3-component) → the decoded
+        # luma plane (the Y channel IS the grayscale image)
+        _w, _h, planes, _s = _decode_jpeg_planes(bytes(b))
+        return "jpeg", [int(v) for v in planes[0].reshape(-1)]
     if fmt == "wav":
         return "wav", decode_wav_pcm16(bytes(b))
     return "unknown", None

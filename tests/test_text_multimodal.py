@@ -123,9 +123,8 @@ def test_decode_values_corrupt_and_unknown():
     # a header-only GIF with no image block is a corrupt payload
     with pytest.raises(ValueError):
         MM.decode_values(_gif(10, 10))
-    # the _jpeg fixture declares 3 components — color decode is the
-    # documented unsupported variant (grayscale baseline is real)
-    with pytest.raises(NotImplementedError):
+    # the _jpeg fixture is header-only (SOF but no scan data): corrupt
+    with pytest.raises(ValueError):
         MM.decode_values(_jpeg(10, 10))
 
 
@@ -218,6 +217,41 @@ def test_jpeg_rejects_unsupported_variants():
     progressive = j.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(NotImplementedError):
         MM.decode_jpeg_gray8(progressive)
+
+
+def test_color_jpeg_roundtrips():
+    import random
+
+    random.seed(11)
+    w, h = 19, 13
+    y = [random.randrange(256) for _ in range(w * h)]
+    cb = [random.randrange(256) for _ in range(w * h)]
+    cr = [random.randrange(256) for _ in range(w * h)]
+    # 4:4:4 at q=1: every plane within float rounding of the input
+    j = MM.encode_jpeg_ycbcr(w, h, y, cb, cr, subsample="444")
+    W, H, Y, CB, CR = MM.decode_jpeg_ycbcr(j)
+    assert (W, H) == (w, h)
+    for got, want in ((Y, y), (CB, cb), (CR, cr)):
+        assert max(abs(a - b) for a, b in zip(got, want)) <= 1
+    # 4:2:0: chroma planes ride at half resolution through 16×16 MCUs
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    cb2 = [random.randrange(256) for _ in range(cw * ch)]
+    cr2 = [random.randrange(256) for _ in range(cw * ch)]
+    j2 = MM.encode_jpeg_ycbcr(w, h, y, cb2, cr2, subsample="420")
+    W, H, Y2, CB2, CR2 = MM.decode_jpeg_ycbcr(j2)
+    assert len(Y2) == w * h and len(CB2) == cw * ch
+    assert max(abs(a - b) for a, b in zip(CB2, cb2)) <= 1
+    # constant macroblocks decode EXACTLY; decode_values returns the luma
+    w3, h3 = 32, 16
+    y3 = [((x // 16) + 2 * (yy // 16)) * 40 % 256 for yy in range(h3) for x in range(w3)]
+    c3 = [100] * ((w3 // 2) * (h3 // 2))
+    j3 = MM.encode_jpeg_ycbcr(w3, h3, y3, c3, c3, subsample="420")
+    assert MM.decode_jpeg_ycbcr(j3)[2] == y3
+    assert MM.decode_values(j3) == ("jpeg", y3)
+    # a gray decode call on a color file points at the color API
+    with pytest.raises(NotImplementedError):
+        MM.decode_jpeg_gray8(j3)
+    assert MM.ycbcr_to_rgb(128, 128, 128) == (128, 128, 128)
 
 
 def test_gif_lzw_roundtrip_and_handbuilt_stream():
