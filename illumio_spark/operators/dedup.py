@@ -81,6 +81,59 @@ def minhash_signature(
     ]
 
 
+def exploded_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(id, __s) — one row per k-word shingle, fully codegen (posexplode +
+    window lead; see minhash_signatures_df's measured rationale for why
+    this beats HOF array building ~10×). Null __s rows mark positions
+    within k-1 of the end (and zero-token docs); filter or gate as the
+    consumer needs. ONE shuffle on id."""
+    toks = df.select(
+        id_col,
+        F.posexplode_outer(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__pos", "__tok"),
+    )
+    if k == 1:
+        return toks.select(id_col, F.col("__tok").alias("__s"))
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    leads = [F.lead("__tok", j).over(w) for j in range(1, k)]
+    shingle = F.when(leads[-1].isNotNull(), F.concat_ws(" ", F.col("__tok"), *leads))
+    return toks.select(id_col, shingle.alias("__s"))
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 13,
+) -> DataFrame:
+    """Test-set decontamination: drop every training document sharing ANY
+    k-word shingle with the evaluation corpus (the GPT-3-style 13-gram
+    overlap rule). Returns the surviving training rows unchanged.
+
+    Scale shape: both sides explode to (id, shingle) with the codegen
+    window builder, shingles travel as 8-byte xxhash64 keys, the eval
+    side collapses to DISTINCT hashes (tiny vs the training corpus —
+    AQE broadcasts it), and contaminated ids come from one semi-join +
+    one anti-join. Never materializes shingle arrays per row; documents
+    shorter than k tokens cannot be contaminated, matching the rule."""
+    t_sh = (
+        exploded_shingles(train, id_col, text_col, k)
+        .filter(F.col("__s").isNotNull())
+        .select(id_col, F.xxhash64("__s").alias("__h"))
+    )
+    ev = eval_df.select(F.monotonically_increasing_id().alias("__eid"), F.col(text_col))
+    e_sh = (
+        exploded_shingles(ev, "__eid", text_col, k)
+        .filter(F.col("__s").isNotNull())
+        .select(F.xxhash64("__s").alias("__h"))
+        .distinct()
+    )
+    contaminated = t_sh.join(e_sh, "__h", "left_semi").select(id_col).distinct()
+    return train.join(contaminated, id_col, "left_anti")
+
+
 def minhash_signatures_df(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 3, n_hashes: int = N_MINHASH, hash_fn: str = "md5",
@@ -105,14 +158,7 @@ def minhash_signatures_df(
     posexplode_outer keeps zero-token docs (null token → null shingle →
     null signature, same as array_min of an empty array); the trailing
     k-1 positions gate on the furthest lead being non-null."""
-    toks = df.select(
-        id_col,
-        F.posexplode_outer(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__pos", "__tok"),
-    )
-    w = Window.partitionBy(id_col).orderBy("__pos")
-    leads = [F.lead("__tok", j).over(w) for j in range(1, k)]
-    shingle = F.when(leads[-1].isNotNull(), F.concat_ws(" ", F.col("__tok"), *leads))
-    sh = toks.select(id_col, shingle.alias("__s"))
+    sh = exploded_shingles(df, id_col, text_col, k)
     s = F.col("__s")
     if hash_fn == "xxhash64":
         # xxhash64 skips null inputs (would hash the salt alone) — gate it

@@ -254,3 +254,35 @@ def test_hashing_embed_deterministic_and_empty(spark):
     out2 = {r.doc_id: r.embedding for r in SIM.hashing_embed(df, dim=8).collect()}
     assert out1 == out2  # deterministic
     assert out1[1] == [0.0] * 8 and out1[2] == [0.0] * 8  # zero-token → zero vector
+
+
+def test_decontaminate_13gram_rule(spark):
+    base = " ".join(f"w{j}" for j in range(13))  # exactly one 13-gram
+    train = spark.createDataFrame(
+        [
+            (0, f"prefix tokens {base} suffix tokens"),   # contains the eval 13-gram
+            (1, base),                                    # IS the eval 13-gram
+            (2, " ".join(f"w{j}" for j in range(12))),    # only a 12-gram prefix
+            (3, "completely unrelated text with many distinct words here okay"),
+            (4, "short doc"),                             # < 13 tokens: never contaminated
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, f"eval question about {base} end"), (101, "other eval text")],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id for r in D.decontaminate(train, eval_df, k=13).select("doc_id").collect()
+    )
+    assert kept == [2, 3, 4]
+    # k=1 degenerates to any-shared-token
+    kept1 = sorted(
+        r.doc_id
+        for r in D.decontaminate(
+            spark.createDataFrame([(0, "alpha beta"), (1, "gamma delta")], "doc_id long, text string"),
+            spark.createDataFrame([(9, "beta zeta")], "doc_id long, text string"),
+            k=1,
+        ).select("doc_id").collect()
+    )
+    assert kept1 == [1]
