@@ -28,6 +28,7 @@ PRIORITY = [
     # r4 rotations: fresh driver rows for the code that changed this round
     "p2_trim_null_projection",  # py_strip dual ASCII/Unicode path (r4)
     "td_hash_embed_pairs",  # raw text → hashing_embed → LSH lineage (r4)
+    "td_decontaminate",  # 13-gram test-set decontamination (new r4)
     "td_decode_stats",  # corpus now includes real GIF LZW payloads (r4)
     "p3_audit_projection",
     "p4_nested_extraction",

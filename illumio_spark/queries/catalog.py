@@ -83,13 +83,16 @@ def s4_incremental_antijoin(spark, sf_dir):
     )
 
 
-@q(
-    "s5_limit_batch",
-    """
+# S5 was driver-green in r2 AND r3 with unchanged code; rotated out of the
+# 50-entry window in r4 to make room for td_decontaminate (the new 13-gram
+# decontamination operator deserves driver evidence). Still oracle-checked
+# every pytest run via tests/test_retired_queries.py against this SQL.
+S5_SQL = """
     SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price
     FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
-    """,
-)
+    """
+
+
 def s5_limit_batch(spark, sf_dir):
     # reference: batch_size listing cap (s3_manager.py:217) → deterministic top-k
     return (

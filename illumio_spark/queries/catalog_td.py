@@ -381,6 +381,45 @@ def td_embedding_neardup(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+_DECONTAM_SQL = """
+    WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+    ev AS (SELECT text FROM documents WHERE doc_id % 50 = 0 AND doc_id < 300),
+    tt AS (SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS toks FROM train),
+    et AS (SELECT string_split_regex(TRIM(text), '\\s+') AS toks FROM ev),
+    tsh AS (
+        SELECT doc_id, UNNEST(list_transform(
+            range(1, GREATEST(len(toks) - 11, 1)),
+            i -> array_to_string(toks[i:i+12], ' ')
+        )) AS s FROM tt
+    ),
+    esh AS (
+        SELECT DISTINCT UNNEST(list_transform(
+            range(1, GREATEST(len(toks) - 11, 1)),
+            i -> array_to_string(toks[i:i+12], ' ')
+        )) AS s FROM et
+    ),
+    bad AS (SELECT DISTINCT doc_id FROM tsh WHERE s IN (SELECT s FROM esh))
+    SELECT doc_id FROM train
+    WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+    ORDER BY doc_id
+"""
+
+
+@q("td_decontaminate", _DECONTAM_SQL)
+def td_decontaminate(spark, sf_dir):
+    """Test-set decontamination under the driver gate: the eval corpus is
+    every 50th training document verbatim, so exactly those train docs
+    (the ones long enough to hold a 13-gram) are contaminated and must
+    drop; the oracle recomputes the 13-gram overlap rule in SQL. The
+    operator's scale shape — codegen shingle explode, xxhash64 shingle
+    keys, distinct eval side, semi-join + anti-join — is the engine path;
+    the survivors' id set is hash-compared exactly."""
+    d = load(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") < 300).select("doc_id", "text")
+    ev = d.filter((F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 300)).select("text")
+    return D.decontaminate(train, ev, k=13).select("doc_id").orderBy("doc_id")
+
+
 def _hash_embed_sql(dim: int = 64, n_planes: int = 8, n_tables: int = 9,
                     threshold: float = 0.9) -> str:
     """DuckDB oracle for the FULL raw-text → feature-hash-embed → LSH →

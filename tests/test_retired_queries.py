@@ -7,7 +7,7 @@ import duckdb
 import pytest
 
 SF = "/root/testdata/sf0.001"
-TABLES = ["events", "documents"]
+TABLES = ["events", "documents", "orders"]
 
 
 def _oracle(sql: str):
@@ -44,3 +44,9 @@ def test_s15_head_sample_matches_oracle(spark):
     from illumio_spark.queries.catalog_ext import S15_SQL, s15_head_sample
 
     _compare(s15_head_sample(spark, SF), S15_SQL)
+
+
+def test_s5_limit_batch_matches_oracle(spark):
+    from illumio_spark.queries.catalog import S5_SQL, s5_limit_batch
+
+    _compare(s5_limit_batch(spark, SF), S5_SQL)
