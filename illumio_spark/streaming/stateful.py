@@ -118,3 +118,21 @@ def sessionize_batch(df: DataFrame) -> DataFrame:
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming-native exact dedup (the S4/J4 anti-join as a stream).
+
+    ``dropDuplicatesWithinWatermark`` keeps first-arrival rows per key and
+    expires key state once the event-time watermark passes — bounded state
+    at any stream length, the property the reference's processed-keys set
+    (app/log_processor.py:129-169, grows forever in sqlite) lacks. Keys
+    default to the (conv_id, turn_idx) turn identity; duplicates arriving
+    within the watermark window are dropped exactly, later than it —
+    already expired upstream by the watermark contract."""
+    keys = keys or ["conv_id", "turn_idx"]
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

@@ -71,3 +71,40 @@ def test_windowed_rollup_stream(spark, stream_input):
     assert set(got["event_class"]) <= {"summary", "auditable"}
     # window bounds are aligned hours
     assert (got["window_start"].dt.minute == 0).all()
+
+
+def test_stream_dedup_matches_batch(spark, stream_input):
+    # duplicate every 3rd turn into extra files; the streaming dedup must
+    # reproduce the batch distinct exactly (first-arrival per turn identity)
+    import pandas as pd
+
+    from illumio_spark.streaming.stateful import dedup_stream
+    from illumio_spark.streaming.stream_pipeline import read_transcript_stream
+
+    input_dir, pdf = stream_input
+    d = tempfile.mkdtemp(prefix="stream_dedup_")
+    for i in range(4):
+        part = pdf.iloc[i::4].reset_index(drop=True)
+        synth.write_parquet(part, os.path.join(d, f"part-{i}.parquet"))
+    dups = pdf.iloc[::3].reset_index(drop=True)
+    synth.write_parquet(dups, os.path.join(d, "dups-0.parquet"))
+
+    stream = read_transcript_stream(spark, d)
+    out_dir = tempfile.mkdtemp(prefix="stream_dedup_out_")
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", out_dir + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir).select("conv_id", "turn_idx", "text").toPandas()
+    got = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = pdf[["conv_id", "turn_idx", "text"]].drop_duplicates(
+        ["conv_id", "turn_idx"]
+    ).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(got) == len(want) == len(pdf)  # input had unique turn ids
+    assert got["text"].tolist() == want["text"].tolist()
