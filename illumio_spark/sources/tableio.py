@@ -229,6 +229,69 @@ class TableIO:
             os.rename(tmp, r["path"])
             shutil.rmtree(old, ignore_errors=True)
 
+    def compact(
+        self, spark: SparkSession, table: str, target_mb: int = 128,
+        run_id: str | None = None, sort_within: list[str] | None = None,
+    ) -> dict:
+        """Small-files compaction (Iceberg's rewrite_data_files; the 100 TB
+        sink-maintenance op): each run dir whose average data file is under
+        half the target is rewritten to ceil(bytes/target) files per
+        partition directory, atomic via the same tmp-dir swap as
+        delete_where, preserving the run's partition layout. coalesce is
+        shuffle-free but CONCATENATES source files, so a merged file is no
+        longer internally sorted — pass sort_within=["conv_id","turn_idx"]
+        for the pipeline sinks to restore the O1 per-file invariant (a
+        local sortWithinPartitions, still no shuffle).
+        Returns {'runs': n, 'files_before': x, 'files_after': y}."""
+        import math
+        import shutil
+
+        if self.use_iceberg:
+            try:
+                spark.sql(
+                    f"CALL local.system.rewrite_data_files(table => 'db.{table}', "
+                    f"options => map('target-file-size-bytes', '{target_mb * 1024 * 1024}'))"
+                )
+                return {"runs": -1, "files_before": -1, "files_after": -1}
+            except Exception:
+                pass  # procedure catalog unavailable: fall through to dirs
+        stats = {"runs": 0, "files_before": 0, "files_after": 0}
+        for r in self._load_manifest(table)["runs"]:
+            if run_id is not None and r["run_id"] != run_id:
+                continue
+            # leaf data dirs: the run path itself, or its hive partition dirs
+            leaves = []
+            for dirpath, _dirnames, filenames in os.walk(r["path"]):
+                datafiles = [f for f in filenames if f.endswith(".parquet")]
+                if datafiles:
+                    leaves.append(
+                        (dirpath,
+                         [os.path.join(dirpath, f) for f in datafiles])
+                    )
+            n_before = sum(len(fs) for _d, fs in leaves)
+            total = sum(os.path.getsize(f) for _d, fs in leaves for f in fs)
+            if not n_before or total / n_before >= target_mb * 1024 * 1024 / 2:
+                continue  # files already healthy-sized
+            stats["runs"] += 1
+            stats["files_before"] += n_before
+            for leaf, files in leaves:
+                size = sum(os.path.getsize(f) for f in files)
+                n_out = max(1, math.ceil(size / (target_mb * 1024 * 1024)))
+                if n_out >= len(files):
+                    stats["files_after"] += len(files)
+                    continue
+                tmp = leaf + ".compact_tmp"
+                df = spark.read.parquet(leaf).coalesce(n_out)
+                if sort_within:
+                    df = df.sortWithinPartitions(*sort_within)
+                df.write.mode("overwrite").parquet(tmp)
+                old = leaf + ".compact_old"
+                os.rename(leaf, old)
+                os.rename(tmp, leaf)
+                shutil.rmtree(old, ignore_errors=True)
+                stats["files_after"] += n_out
+        return stats
+
     # -- logical sinks over the one-pass partitioned fan-out table -----------
     SINK_COLUMNS = {
         "routed_events": [

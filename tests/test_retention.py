@@ -131,3 +131,38 @@ def test_schema_evolution_across_runs(spark):
     )
     rows = {r["id"]: (r["v"], r["score"]) for r in io.read(spark, "t").collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_compact_reduces_files_preserves_content_and_order(spark):
+    import glob
+    import os
+
+    io = TableIO(tempfile.mkdtemp(prefix="compact_"))
+    df = synth.generate_spark(spark, 150, hot_frac=0.3, parallelism=8)
+    # force many tiny files through the real fan-out write
+    run_pipeline(spark, df, io=io, run_id="c1", sink_partitions=32)
+    before = io.read(spark, "pipeline_out", "c1").orderBy("conv_id", "turn_idx").collect()
+    root = os.path.join(io.root, "pipeline_out", "run_id=c1")
+    files_before = len(glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True))
+    assert files_before > 8
+
+    stats = io.compact(
+        spark, "pipeline_out", target_mb=128, run_id="c1",
+        sort_within=["conv_id", "turn_idx"],
+    )
+    files_after = len(glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True))
+    assert stats["files_before"] == files_before
+    assert files_after < files_before and files_after == stats["files_after"]
+
+    # content identical, partition layout (sink=...) preserved
+    after = io.read(spark, "pipeline_out", "c1").orderBy("conv_id", "turn_idx").collect()
+    assert after == before
+    assert io.read_sink(spark, "routed_events", "c1").count() > 0
+    # O1: every compacted file is (conv_id, turn_idx)-sorted internally
+    for f in glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True):
+        rows = spark.read.parquet(f).select("conv_id", "turn_idx").collect()
+        keys = [(r.conv_id, r.turn_idx) for r in rows]
+        assert keys == sorted(keys), f"unsorted compacted file {f}"
+    # already-compact run: second pass is a no-op
+    stats2 = io.compact(spark, "pipeline_out", target_mb=128, run_id="c1")
+    assert stats2["runs"] == 1 and stats2["files_after"] <= files_after or stats2["runs"] == 0
