@@ -39,6 +39,15 @@ def worker(cpus: int, n: int, dim: int, n_queries: int) -> None:
 
     rng = np.random.Generator(np.random.PCG64(1234))
     mat = rng.standard_normal((n, dim))
+    # plant TRUE neighbors: at dim=768 random vectors concentrate at
+    # cos≈0±1/sqrt(dim) (no meaningful nearest neighbors exist — measured
+    # recall on pure-random data is ~0 for ANY ANN method), so each query
+    # gets 10 planted neighbors at cos≈0.9; recall@10 = finding them
+    n_q = n_queries
+    for qi in range(n_q):
+        for j in range(10):
+            idx = n_q + qi * 10 + j
+            mat[idx] = mat[qi] + 0.5 * rng.standard_normal(dim)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     rows = [(int(i), mat[i].tolist()) for i in range(n)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(
@@ -49,16 +58,14 @@ def worker(cpus: int, n: int, dim: int, n_queries: int) -> None:
         "vec_id as qid", "embedding as qe"
     )
 
-    n_planes, n_tables = 12, 8
+    n_planes = int(os.environ.get("ANN_BENCH_PLANES", "12"))
+    n_tables = 8
     assert n_planes * dim > SIM.LSH_LITERAL_BUDGET, "must engage the matmul path"
 
     out = {"cpus": cpus, "n": n, "dim": dim}
-    for name, df in {
-        "lsh_topk_768": SIM.lsh_topk(
-            emb, qs, k=10, n_planes=n_planes, dim=dim, n_tables=n_tables
-        ),
-        "brute_force_768": SIM.brute_force_topk(emb, qs, k=10),
-    }.items():
+    lsh = SIM.lsh_topk(emb, qs, k=10, n_planes=n_planes, dim=dim, n_tables=n_tables)
+    brute = SIM.brute_force_topk(emb, qs, k=10)
+    for name, df in {"lsh_topk_768": lsh, "brute_force_768": brute}.items():
         df.write.mode("overwrite").format("noop").save()  # warm (JIT + python workers)
         best = float("inf")
         for _ in range(2):
@@ -66,6 +73,10 @@ def worker(cpus: int, n: int, dim: int, n_queries: int) -> None:
             df.write.mode("overwrite").format("noop").save()
             best = min(best, time.time() - t0)
         out[name] = round(best, 3)
+    # recall@10 of the approximate path vs exact brute force
+    truth = {(r.qid, r.neighbor_id) for r in brute.collect()}
+    approx = {(r.qid, r.neighbor_id) for r in lsh.collect()}
+    out["recall_at_10"] = round(len(truth & approx) / len(truth), 3)
     print(json.dumps(out), flush=True)
     spark.stop()
 

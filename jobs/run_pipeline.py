@@ -38,6 +38,10 @@ def main() -> None:
     ap.add_argument("--ttl-cutoff", default=None, metavar="TIMESTAMP",
                     help="T11 maintenance: after the run, delete sink rows with "
                          "ts < cutoff (e.g. '2026-01-01 00:00:00')")
+    ap.add_argument("--compact-target-mb", type=int, default=None, metavar="MB",
+                    help="post-run maintenance: compact the sink table's small "
+                         "files toward this target size (keeps the per-file "
+                         "(conv_id, turn_idx) ordering)")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate N synthetic conversations instead of --input")
     ap.add_argument("--output", required=True, help="sink root (TableIO)")
@@ -112,6 +116,13 @@ def main() -> None:
     if args.ttl_cutoff:
         io.delete_where(spark, "pipeline_out", f"ts < timestamp'{args.ttl_cutoff}'")
         print(f"[pipeline] TTL: deleted sink rows with ts < {args.ttl_cutoff}")
+    if args.compact_target_mb:
+        stats = io.compact(
+            spark, "pipeline_out", target_mb=args.compact_target_mb,
+            sort_within=["conv_id", "turn_idx"],
+        )
+        print(f"[pipeline] compaction: {stats['files_before']} → "
+              f"{stats['files_after']} files across {stats['runs']} run(s)")
 
 
 if __name__ == "__main__":
