@@ -270,6 +270,102 @@ def lsh_neardup_pairs(
     )
 
 
+def ivf_train_centroids(
+    emb: DataFrame, vec_col: str = "embedding", n_centroids: int = 64,
+    sample_n: int = 20000, iters: int = 10, seed: int = LSH_SEED,
+) -> np.ndarray:
+    """Spherical k-means centroids from a corpus sample (Lloyd iterations
+    on the unit sphere: assign by max dot product, re-mean, renormalize).
+
+    Training is deliberately driver-side numpy over a bounded SAMPLE —
+    the standard IVF recipe (faiss trains on ~100k-1M points regardless of
+    corpus size); the full corpus only ever sees the broadcast centroids
+    in the assignment pass. Deterministic under the seed."""
+    pdf = emb.select(vec_col).limit(sample_n).toPandas()
+    x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
+    return cents
+
+
+def _ivf_cells_pandas(vec, centroids: np.ndarray, n_probe: int) -> "F.Column":
+    """Nearest-centroid cell ids per vector: ONE numpy matmul per Arrow
+    batch against the closure-captured centroids (broadcast once per
+    worker), top-n_probe cells by dot product → array<int>."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    cents_t = centroids.T  # (dim, n_centroids)
+
+    def _cells(v):
+        mat = np.asarray(v.tolist(), dtype=np.float64)
+        scores = mat @ cents_t  # (batch, n_centroids)
+        top = np.argsort(-scores, axis=1)[:, :n_probe]
+        return pd.Series(list(top.astype(np.int32)))
+
+    return pandas_udf(_cells, T.ArrayType(T.IntegerType()))(vec)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qe",
+    n_centroids: int = 64,
+    n_probe: int = 4,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted file): corpus vectors live in
+    their single nearest-centroid cell, queries probe their n_probe
+    nearest cells, candidates come from the (cell) equi-join, and exact
+    cosine re-ranks — the faiss IVF-Flat shape as a DataFrame plan.
+
+    100 TB scale shape: centroid training touches a bounded sample; cell
+    assignment is a map-only matmul pass; the candidate join shuffles on
+    compact int cell ids (never all-pairs); recall is tuned by n_probe
+    with cost linear in probed-cell population. Complements lsh_topk:
+    IVF adapts to the data distribution (clustered corpora), hyperplane
+    LSH is data-independent."""
+    if centroids is None:
+        centroids = ivf_train_centroids(emb, vec_col, n_centroids)
+    ev = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    qv = queries.select(F.col(qid_col), F.col(qvec_col).cast("array<double>").alias("qv"))
+    e = ev.select(
+        id_col, F.get(_ivf_cells_pandas(F.col("v"), centroids, 1), 0).alias("cell")
+    )
+    qn = qv.select(
+        qid_col, F.explode(_ivf_cells_pandas(F.col("qv"), centroids, n_probe)).alias("cell")
+    )
+    cand_ids = (
+        e.join(F.broadcast(qn), "cell")
+        .filter(F.col(id_col) != F.col(qid_col))
+        .select(qid_col, id_col)
+        .dropDuplicates([qid_col, id_col])
+    )
+    candidates = cand_ids.join(ev, id_col).join(F.broadcast(qv), qid_col)
+    scored = candidates.withColumn("cos", cosine(F.col("v"), F.col("qv")))
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col(qid_col), F.col(id_col).alias("neighbor_id"), F.col("rank"))
+    )
+
+
 def hashing_embed(
     df: DataFrame,
     id_col: str = "doc_id",

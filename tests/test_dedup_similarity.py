@@ -286,3 +286,43 @@ def test_decontaminate_13gram_rule(spark):
         ).select("doc_id").collect()
     )
     assert kept1 == [1]
+
+
+def test_ivf_topk_recall_on_clustered_corpus(spark):
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(77))
+    # 8 well-separated clusters of 40 vectors each at dim=32
+    centers = rng.standard_normal((8, 32)) * 4
+    rows = []
+    for i in range(320):
+        v = centers[i % 8] + rng.standard_normal(32) * 0.3
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = emb.filter("vec_id < 5").selectExpr("vec_id as qid", "embedding as qe")
+
+    exact = {
+        (r.qid, r.neighbor_id)
+        for r in SIM.brute_force_topk(emb, qs, k=5).collect()
+    }
+    approx = {
+        (r.qid, r.neighbor_id)
+        for r in SIM.ivf_topk(emb, qs, k=5, n_centroids=16, n_probe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"IVF recall {recall} below 0.9"
+    # plan shape: cell equi-join, never a cartesian/BNLJ
+    plan = SIM.ivf_topk(emb, qs, k=5, n_centroids=16, n_probe=3)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_centroids_deterministic(spark):
+    import numpy as np
+
+    rows = [(i, [float((i * 13 + j * 7) % 11) for j in range(8)]) for i in range(100)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c1 = SIM.ivf_train_centroids(emb, n_centroids=4, sample_n=100)
+    c2 = SIM.ivf_train_centroids(emb, n_centroids=4, sample_n=100)
+    assert np.allclose(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
