@@ -29,6 +29,7 @@ PRIORITY = [
     "p2_trim_null_projection",  # py_strip dual ASCII/Unicode path (r4)
     "td_hash_embed_pairs",  # raw text → hashing_embed → LSH lineage (r4)
     "td_decontaminate",  # 13-gram test-set decontamination (new r4)
+    "td_ann_ivf_topk",  # IVF cell-join ANN, integer-exact oracle (new r4)
     "td_decode_stats",  # corpus now includes real GIF LZW payloads (r4)
     "p3_audit_projection",
     "p4_nested_extraction",

@@ -311,7 +311,9 @@ def _ivf_cells_pandas(vec, centroids: np.ndarray, n_probe: int) -> "F.Column":
     def _cells(v):
         mat = np.asarray(v.tolist(), dtype=np.float64)
         scores = mat @ cents_t  # (batch, n_centroids)
-        top = np.argsort(-scores, axis=1)[:, :n_probe]
+        # stable sort: equal scores break ties by ascending cell id, a
+        # deterministic rule an external oracle can reproduce exactly
+        top = np.argsort(-scores, axis=1, kind="stable")[:, :n_probe]
         return pd.Series(list(top.astype(np.int32)))
 
     return pandas_udf(_cells, T.ArrayType(T.IntegerType()))(vec)

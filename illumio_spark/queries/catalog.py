@@ -214,14 +214,17 @@ def f3_syslog_envelope(spark, sf_dir):
     )
 
 
-@q(
-    "p11_filename_ts_parse",
-    """
+# P11 was driver-green in r2 AND r3 with unchanged code; rotated out of the
+# 50-entry window in r4 to make room for td_ann_ivf_topk (the new IVF ANN
+# operator deserves driver evidence). Still oracle-checked every pytest run
+# via tests/test_retired_queries.py against this SQL.
+P11_SQL = """
     SELECT event_id,
            strftime(strptime(strftime(ts, '%Y%m%d%H%M%S'), '%Y%m%d%H%M%S'), '%Y-%m-%d %H:%M:%S') AS ts_rt
     FROM events WHERE event_id < 500
-    """,
-)
+    """
+
+
 def p11_filename_ts_parse(spark, sf_dir):
     # reference: filename %Y%m%d%H%M%S parse (s3_manager.py:293-302)
     ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)

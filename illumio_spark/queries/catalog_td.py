@@ -420,6 +420,103 @@ def td_decontaminate(spark, sf_dir):
     return D.decontaminate(train, ev, k=13).select("doc_id").orderBy("doc_id")
 
 
+def _ivf_centroids_int(dim: int = 16, n_clusters: int = 8, n_decoys: int = 4):
+    """Fixed integer codebook: one centroid per 2-dim block cluster plus
+    low-energy decoys. Integer components keep every dot product EXACT in
+    doubles, so cell assignment and cosine ranks are bit-identical across
+    engines — no FP-parity risk in the oracle compare."""
+    import numpy as np
+
+    cents = []
+    for c in range(n_clusters):
+        v = [6.0 if j // 2 == c else 0.0 for j in range(dim)]
+        cents.append(v)
+    for d in range(n_decoys):
+        v = [3.0 if j == d else 0.0 for j in range(dim)]
+        cents.append(v)
+    return np.asarray(cents)
+
+
+def _ivf_sql(dim: int = 16, n_probe: int = 3, k: int = 10) -> str:
+    cents = _ivf_centroids_int(dim)
+    cent_rows = ",\n           ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    vec_expr = (
+        f"list_transform(range(0, {dim}), j -> CAST((vec_id*7 + j*13) % 9 - 4 "
+        f"+ CASE WHEN j // 2 = vec_id % 8 THEN 6 ELSE 0 END AS DOUBLE))"
+    )
+    return f"""
+    WITH ids AS (SELECT event_id AS vec_id FROM events WHERE event_id < 200),
+    vecs AS (SELECT vec_id, {vec_expr} AS v FROM ids),
+    cents(cell, c) AS (VALUES {cent_rows}),
+    escore AS (SELECT vec_id, cell, list_dot_product(v, c) AS s FROM vecs, cents),
+    ecell AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+            FROM escore
+        ) WHERE rn = 1
+    ),
+    qcell AS (
+        SELECT vec_id AS qid, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+            FROM escore WHERE vec_id < 5
+        ) WHERE rn <= {n_probe}
+    ),
+    cand AS (
+        SELECT DISTINCT q.qid, e.vec_id
+        FROM ecell e JOIN qcell q ON e.cell = q.cell AND e.vec_id <> q.qid
+    ),
+    scored AS (
+        SELECT c.qid, c.vec_id, list_cosine_similarity(ve.v, vq.v) AS cos
+        FROM cand c
+        JOIN vecs ve ON ve.vec_id = c.vec_id
+        JOIN vecs vq ON vq.vec_id = c.qid
+    )
+    SELECT qid, neighbor_id, rank FROM (
+        SELECT qid, vec_id AS neighbor_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY cos DESC, vec_id
+               ) AS INTEGER) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    ORDER BY qid, rank
+    """
+
+
+@q("td_ann_ivf_topk", _ivf_sql())
+def td_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN under the driver gate: a deterministic integer-valued
+    clustered corpus (8 block clusters over dim=16, closed form from
+    event_id) against a FIXED integer codebook — centroid training itself
+    is pytest-covered (determinism + recall); this row cross-checks the
+    full assignment → cell equi-join → n_probe → exact-cosine-rank
+    machinery. Integer components make every dot/norm exact in doubles,
+    so both engines rank identically with no FP tolerance needed."""
+    cents = _ivf_centroids_int()
+    ids = load(spark, sf_dir, "events").filter(F.col("event_id") < 200).select(
+        F.col("event_id").alias("vec_id")
+    )
+    j = F.sequence(F.lit(0), F.lit(15))
+    vec = F.transform(
+        j,
+        lambda jj: (
+            (F.col("vec_id") * 7 + jj * 13) % 9 - 4
+            + F.when((jj / 2).cast("int") == F.col("vec_id") % 8, 6).otherwise(0)
+        ).cast("double"),
+    )
+    vecs = ids.select("vec_id", vec.alias("embedding"))
+    qs = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    return SIM.ivf_topk(
+        vecs, qs, k=10, n_probe=3, centroids=cents
+    ).orderBy("qid", "rank")
+
+
 def _hash_embed_sql(dim: int = 64, n_planes: int = 8, n_tables: int = 9,
                     threshold: float = 0.9) -> str:
     """DuckDB oracle for the FULL raw-text → feature-hash-embed → LSH →

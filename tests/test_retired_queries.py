@@ -50,3 +50,9 @@ def test_s5_limit_batch_matches_oracle(spark):
     from illumio_spark.queries.catalog import S5_SQL, s5_limit_batch
 
     _compare(s5_limit_batch(spark, SF), S5_SQL)
+
+
+def test_p11_filename_ts_parse_matches_oracle(spark):
+    from illumio_spark.queries.catalog import P11_SQL, p11_filename_ts_parse
+
+    _compare(p11_filename_ts_parse(spark, SF), P11_SQL)
