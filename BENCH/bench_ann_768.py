@@ -64,8 +64,11 @@ def worker(cpus: int, n: int, dim: int, n_queries: int) -> None:
 
     out = {"cpus": cpus, "n": n, "dim": dim}
     lsh = SIM.lsh_topk(emb, qs, k=10, n_planes=n_planes, dim=dim, n_tables=n_tables)
+    ivf = SIM.ivf_topk(emb, qs, k=10, n_centroids=64, n_probe=8)
     brute = SIM.brute_force_topk(emb, qs, k=10)
-    for name, df in {"lsh_topk_768": lsh, "brute_force_768": brute}.items():
+    for name, df in {
+        "lsh_topk_768": lsh, "ivf_topk_768": ivf, "brute_force_768": brute
+    }.items():
         df.write.mode("overwrite").format("noop").save()  # warm (JIT + python workers)
         best = float("inf")
         for _ in range(2):
@@ -73,10 +76,11 @@ def worker(cpus: int, n: int, dim: int, n_queries: int) -> None:
             df.write.mode("overwrite").format("noop").save()
             best = min(best, time.time() - t0)
         out[name] = round(best, 3)
-    # recall@10 of the approximate path vs exact brute force
+    # recall@10 of each approximate path vs exact brute force
     truth = {(r.qid, r.neighbor_id) for r in brute.collect()}
-    approx = {(r.qid, r.neighbor_id) for r in lsh.collect()}
-    out["recall_at_10"] = round(len(truth & approx) / len(truth), 3)
+    for name, df in {"lsh": lsh, "ivf": ivf}.items():
+        approx = {(r.qid, r.neighbor_id) for r in df.collect()}
+        out[f"recall_{name}"] = round(len(truth & approx) / len(truth), 3)
     print(json.dumps(out), flush=True)
     spark.stop()
 

@@ -45,6 +45,9 @@ HEADLINE = [
     "td_ann_cosine_topk",
     "td_token_count",
     "p4_nested_extraction",
+    "td_decontaminate",
+    "td_hash_embed_pairs",
+    "td_ann_ivf_topk",
 ]
 
 
