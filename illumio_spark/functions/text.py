@@ -259,3 +259,58 @@ def rolling_fingerprint(text: pd.Series) -> pd.Series:
         return int(h.astype(np.int64))
 
     return text.map(one)
+
+
+def bigram_lm_scores(
+    df: "DataFrame", id_col: str = "doc_id", text_col: str = "text",
+    alpha: float = 0.1,
+) -> "DataFrame":
+    """Corpus-trained bigram language-model quality score per document —
+    the statistical upgrade to the heuristic quality_columns filter: docs
+    whose token transitions are improbable UNDER THE CORPUS'S OWN
+    distribution (boilerplate permutations, shuffled/garbage text, wrong
+    language) score low; fluent in-distribution text scores high.
+
+    Returns (id, n_bigrams, avg_log2_prob) where
+    P(b|a) = (c(a,b)+alpha) / (c(a)+alpha*V), add-alpha smoothed.
+
+    Scale shape (100 TB): pure DataFrame — one token explode feeds BOTH
+    count tables (unigram groupBy, bigram groupBy with map-side partial
+    aggregation), per-doc scoring is two equi-joins on token keys + one
+    groupBy; counts for real corpora are Zipf-skewed, so AQE's skew-join
+    splitting handles the hot-token join keys. No UDF anywhere."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from illumio_spark.operators.dedup import exploded_shingles
+
+    toks = df.select(
+        id_col,
+        F.posexplode_outer(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__pos", "__tok"),
+    ).filter(F.col("__tok").isNotNull() & (F.col("__tok") != ""))
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    pairs = toks.select(
+        id_col,
+        F.col("__tok").alias("__a"),
+        F.lead("__tok", 1).over(w).alias("__b"),
+    ).filter(F.col("__b").isNotNull())
+
+    uni = toks.groupBy(F.col("__tok").alias("__a")).agg(F.count("*").alias("__ca"))
+    bi = pairs.groupBy("__a", "__b").agg(F.count("*").alias("__cab"))
+    v = toks.select("__tok").distinct().count()
+
+    scored = (
+        pairs.join(bi, ["__a", "__b"])
+        .join(uni, "__a")
+        .withColumn(
+            "__lp",
+            F.log2(
+                (F.col("__cab") + F.lit(alpha))
+                / (F.col("__ca") + F.lit(alpha * v))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.avg("__lp").alias("avg_log2_prob"),
+    )

@@ -325,3 +325,26 @@ def test_embed_stub(payloads):
     assert out[2] is None
     norm = sum(x * x for x in out[0]) ** 0.5
     assert abs(norm - 1.0) < 1e-5
+
+
+def test_bigram_lm_scores_rank_fluent_above_shuffled(spark):
+    import math
+
+    from illumio_spark.functions.text import bigram_lm_scores
+
+    fluent = "the cat sat on the mat and the cat sat on the mat again"
+    rows = [(i, fluent) for i in range(20)]            # in-distribution docs
+    rows.append((100, "mat the on sat cat the"))        # shuffled transitions
+    rows.append((101, fluent))                          # another fluent doc
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_lm_scores(df).collect()}
+    # fluent text scores strictly higher than shuffled-token text
+    assert out[101].avg_log2_prob > out[100].avg_log2_prob
+    # hand-check one probability: corpus has 21 fluent docs; P('cat'|'the')
+    # with alpha=0.1: c(the,cat)=2*21, c(the)=4*21... verify via a 1-doc corpus
+    one = spark.createDataFrame([(0, "a b a b")], "doc_id long, text string")
+    r = bigram_lm_scores(one, alpha=0.5).collect()[0]
+    # tokens: a b a b → V=2; bigrams: (a,b)x2, (b,a)x1
+    # P(b|a)=(2+.5)/(2+1)=0.8333; P(a|b)=(1+.5)/(2+1)=0.5
+    want = (2 * math.log2(2.5 / 3) + math.log2(1.5 / 3)) / 3
+    assert abs(r.avg_log2_prob - want) < 1e-9 and r.n_bigrams == 3
