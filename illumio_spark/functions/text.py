@@ -314,3 +314,91 @@ def bigram_lm_scores(
         F.count("*").alias("n_bigrams"),
         F.avg("__lp").alias("avg_log2_prob"),
     )
+
+
+# --- PII scrubbing (training-data hygiene) ---------------------------------
+# Conservative patterns that parse identically under Java regex and RE2:
+# no lookarounds, no backrefs. Order matters: SSN before phone (the phone
+# pattern would otherwise consume SSN-shaped digit runs), email before
+# phone (digits in mail local parts).
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b"),
+    ("phone", r"\+?\d[\d().-]{7,}\d"),
+]
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails / SSNs / IPv4s / phone-shaped digit runs in place —
+    the standard pre-training hygiene pass, as a chain of JVM
+    regexp_replace expressions (codegen, zero Python)."""
+    from pyspark.sql import functions as F
+
+    out = text
+    for kind, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"[{kind.upper()}]")
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII hit counts (for filtering thresholds / audit stats).
+
+    Each kind counts against the text with all EARLIER kinds already
+    redacted — the same precedence the scrubber applies — so an SSN or
+    dotted IP is not double-counted by the looser phone pattern."""
+    from pyspark.sql import functions as F
+
+    out: dict[str, Column] = {}
+    cur = text
+    for kind, pat in PII_PATTERNS:
+        out[f"n_{kind}"] = F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, f"[{kind.upper()}]")
+    return out
+
+
+def repetition_signals(
+    df: "DataFrame", id_col: str = "doc_id", text_col: str = "text"
+) -> "DataFrame":
+    """Per-document repetition signals (the Gopher/C4 repetition filters):
+      dup_line_frac   — fraction of newline-separated lines that are
+                        repeats of an earlier line in the same doc;
+      top_bigram_frac — fraction of the doc's bigram slots taken by its
+                        single most frequent bigram.
+    Highly repetitive docs (boilerplate, scraped nav, degenerate loops)
+    spike both. Scale shape: two explodes with map-side-combined groupBys,
+    all per-doc keys — no cross-doc shuffle skew beyond doc size."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    lines = df.select(
+        id_col, F.explode(F.split(F.col(text_col), "\n")).alias("__line")
+    ).filter(F.trim("__line") != "")
+    line_stats = (
+        lines.groupBy(id_col, "__line")
+        .agg(F.count("*").alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            (
+                (F.sum("__c") - F.count("*")) / F.sum("__c")
+            ).alias("dup_line_frac")
+        )
+    )
+
+    toks = df.select(
+        id_col,
+        F.posexplode_outer(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__pos", "__tok"),
+    ).filter(F.col("__tok").isNotNull() & (F.col("__tok") != ""))
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    bi = toks.select(
+        id_col,
+        F.concat_ws(" ", F.col("__tok"), F.lead("__tok", 1).over(w)).alias("__b"),
+        F.lead("__tok", 1).over(w).alias("__next"),
+    ).filter(F.col("__next").isNotNull())
+    bi_stats = (
+        bi.groupBy(id_col, "__b")
+        .agg(F.count("*").alias("__c"))
+        .groupBy(id_col)
+        .agg((F.max("__c") / F.sum("__c")).alias("top_bigram_frac"))
+    )
+    return line_stats.join(bi_stats, id_col, "full_outer")

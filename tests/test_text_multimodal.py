@@ -348,3 +348,34 @@ def test_bigram_lm_scores_rank_fluent_above_shuffled(spark):
     # P(b|a)=(2+.5)/(2+1)=0.8333; P(a|b)=(1+.5)/(2+1)=0.5
     want = (2 * math.log2(2.5 / 3) + math.log2(1.5 / 3)) / 3
     assert abs(r.avg_log2_prob - want) < 1e-9 and r.n_bigrams == 3
+
+
+def test_scrub_pii_and_counts(spark):
+    text = ("contact john.doe+x@example.co.uk or 192.168.1.200, "
+            "ssn 123-45-6789, call +1(555)123-4567 please")
+    df = spark.createDataFrame([(0, text)], "id long, text string")
+    row = df.select(
+        TX.scrub_pii(F.col("text")).alias("clean"),
+        *[c.alias(k) for k, c in TX.pii_counts(F.col("text")).items()],
+    ).collect()[0]
+    assert "[EMAIL]" in row.clean and "[IPV4]" in row.clean
+    assert "[SSN]" in row.clean and "[PHONE]" in row.clean
+    assert "example" not in row.clean and "6789" not in row.clean
+    assert (row.n_email, row.n_ssn, row.n_ipv4, row.n_phone) == (1, 1, 1, 1)
+    # clean text passes through untouched
+    clean = spark.createDataFrame([(0, "no sensitive data here")], "id long, text string")
+    assert clean.select(TX.scrub_pii(F.col("text")).alias("c")).first().c == "no sensitive data here"
+
+
+def test_repetition_signals(spark):
+    rows = [
+        (0, "unique one\nunique two\nunique three"),            # no repetition
+        (1, "spam line\nspam line\nspam line\nspam line"),       # all dup lines
+        (2, "buy now " * 20),                                    # one dominant bigram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in TX.repetition_signals(df).collect()}
+    assert out[0].dup_line_frac == 0.0
+    assert out[1].dup_line_frac == 0.75  # 4 lines, 1 distinct → 3/4 repeats
+    assert out[2].top_bigram_frac > 0.4  # 'now buy'/'buy now' dominate
+    assert out[0].top_bigram_frac < 0.3
