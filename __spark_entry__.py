@@ -25,17 +25,20 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # driver-unverified). tools/selfcheck.py asserts both invariants.
 DRIVER_WINDOW = 50
 PRIORITY = [
-    # r4 rotations: fresh driver rows for the code that changed this round
+    # r5 rotations: fresh driver rows for the code that changed this round
+    "td_bigram_lm",  # corpus bigram LM, 1e-6-grid quantized sums (new r5)
+    "td_pii_scrub",  # precedence-aware PII counts + md5 of redacted text (r5)
+    "td_repetition_signals",  # Gopher dup-line / top-bigram fractions (r5)
+    "td_resize_stats",  # decode→nearest-resize→encode→decode, int-exact (r5)
+    "td_audio_features",  # WAV RMS/ZCR exact + DFT-oracled centroid (r5)
+    "td_decode_stats",  # real PNG/WAV/GIF-LZW/JPEG codec corpus (r4)
     "p2_trim_null_projection",  # py_strip dual ASCII/Unicode path (r4)
     "td_hash_embed_pairs",  # raw text → hashing_embed → LSH lineage (r4)
-    "td_decontaminate",  # 13-gram test-set decontamination (new r4)
-    "td_ann_ivf_topk",  # IVF cell-join ANN, integer-exact oracle (new r4)
-    "td_decode_stats",  # corpus now includes real GIF LZW payloads (r4)
+    "td_decontaminate",  # 13-gram test-set decontamination (r4)
+    "td_ann_ivf_topk",  # IVF cell-join ANN, integer-exact oracle (r4)
     "p3_audit_projection",
     "p4_nested_extraction",
     "p7b_real_map_fold",
-    "sql_q5_local_supplier",
-    "set_intersect_users",
     "set_except_events",
     "td_sessionize",
     "a2b_rollup_delta",

@@ -59,9 +59,15 @@ def bench_overrides() -> dict:
     in tests/test_dedup_similarity.py). The bench measures the path a real
     deployment runs."""
     from illumio_spark.operators import dedup as D
+    from illumio_spark.queries.catalog import q1_pricing_summary, q3_revenue_topn
     from illumio_spark.queries.catalog_td import _neardup_corpus
 
     return {
+        # rotated out of the driver registry in r5 (pytest-oracled in
+        # tests/test_retired_queries.py) but kept as bench probes so the
+        # scan-agg / join-agg headline numbers stay round-comparable
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_revenue_topn": q3_revenue_topn,
         "td_minhash_lsh_pairs": lambda spark, sf_dir: D.minhash_lsh_pairs(
             _neardup_corpus(spark, sf_dir), hash_fn="xxhash64"
         ),

@@ -231,6 +231,37 @@ def encode_png_gray8(width: int, height: int, values, row_filter=None) -> bytes:
     )
 
 
+def _codec_guard(fn):
+    """Codecs parse UNTRUSTED payload bytes: any failure class a hostile
+    byte stream can provoke (short struct unpacks, bad zlib streams, index
+    overruns from lying length fields) must surface as ValueError — the
+    contract the mapInPandas wrappers and fuzz tests rely on — never as a
+    stray TypeError/IndexError/struct.error."""
+    import functools
+    import struct
+    import zlib
+
+    @functools.wraps(fn)
+    def inner(*a, **k):
+        try:
+            return fn(*a, **k)
+        except (ValueError, NotImplementedError):
+            raise
+        except (
+            struct.error, zlib.error, IndexError, TypeError, KeyError, OverflowError
+        ) as e:
+            raise ValueError(
+                f"malformed payload in {fn.__name__}: {type(e).__name__}: {e}"
+            ) from e
+
+    return inner
+
+
+# hostile header fields could otherwise demand multi-GB allocations
+MAX_DECODE_PIXELS = 1 << 26
+
+
+@_codec_guard
 def decode_png_gray8(b: bytes) -> list[int]:
     """REAL PNG decode for 8-bit grayscale: chunk walk, IDAT inflate,
     scanline unfilter (all five filter types). Raises on other color types /
@@ -256,7 +287,11 @@ def decode_png_gray8(b: bytes) -> list[int]:
         i += 12 + length
     if width is None:
         raise ValueError("PNG has no IHDR chunk")
-    raw = zlib.decompress(bytes(idat))
+    if width * height > MAX_DECODE_PIXELS or width == 0:
+        raise ValueError(f"PNG dimensions {width}x{height} out of range")
+    raw = zlib.decompressobj().decompress(
+        bytes(idat), max_length=height * (width + 1) + 1
+    )
     if len(raw) != height * (width + 1):
         raise ValueError(
             f"PNG IDAT inflates to {len(raw)} bytes, expected {height * (width + 1)}"
@@ -305,6 +340,7 @@ def encode_wav_pcm16(samples, sample_rate: int, channels: int = 1) -> bytes:
     )
 
 
+@_codec_guard
 def decode_wav_pcm16(b: bytes) -> list[int]:
     """REAL WAV decode: chunk walk to `data`, unpack interleaved int16 PCM."""
     import struct
@@ -528,6 +564,7 @@ def _gif_walk_frames(b: bytes):
         raise ValueError("GIF image block not found")
 
 
+@_codec_guard
 def decode_gif_gray(b: bytes) -> list[int]:
     """REAL GIF pixel decode (first frame): header + color-table walk,
     extension skip, sub-block reassembly, full LZW expansion; returns the
@@ -536,6 +573,7 @@ def decode_gif_gray(b: bytes) -> list[int]:
     return next(iter(_gif_walk_frames(b)))[4]
 
 
+@_codec_guard
 def decode_gif_frames(b: bytes) -> list[list[int]]:
     """All frames of an (animated) GIF as gray-pixel lists — REAL video-
     style frame extraction from a real multi-frame container. Frames are
@@ -677,6 +715,14 @@ class _JpegBitWriter:
             self.write((1 << pad) - 1, pad)  # 1-pad to byte boundary
         return bytes(self.out)
 
+    def restart(self, n: int) -> None:
+        """Emit an RSTn marker at a restart boundary (JPEG §B.2.1.2):
+        1-pad to the byte boundary, then the raw unstuffed marker."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
 
 def _magnitude(v: int) -> tuple[int, int]:
     """(category, appended bits) for a DC diff / AC coefficient."""
@@ -686,10 +732,14 @@ def _magnitude(v: int) -> tuple[int, int]:
     return t, (v if v > 0 else v + (1 << t) - 1)
 
 
-def encode_jpeg_gray8(width: int, height: int, values, quant: int = 1) -> bytes:
+def encode_jpeg_gray8(
+    width: int, height: int, values, quant: int = 1, restart_interval: int = 0
+) -> bytes:
     """Minimal REAL baseline-JPEG encoder: 8-bit grayscale, flat quant
     table (default q=1: constant 8×8 blocks round-trip exactly), canonical
-    Huffman tables written to DHT, real DCT + entropy coding."""
+    Huffman tables written to DHT, real DCT + entropy coding. With
+    restart_interval > 0 a DRI segment is written and an RSTn marker is
+    emitted every N MCUs (byte-aligned, DC predictors reset)."""
     import struct
 
     import numpy as np
@@ -707,8 +757,14 @@ def encode_jpeg_gray8(width: int, height: int, values, quant: int = 1) -> bytes:
 
     bwr = _JpegBitWriter()
     prev_dc = 0
+    mcu_n = rst_n = 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                bwr.restart(rst_n)
+                rst_n = (rst_n + 1) & 7
+                prev_dc = 0
+            mcu_n += 1
             prev_dc = _encode_block(
                 bwr, padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
                 qtab, prev_dc, dc_codes, ac_codes, C,
@@ -717,6 +773,7 @@ def encode_jpeg_gray8(width: int, height: int, values, quant: int = 1) -> bytes:
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     dqt = seg(0xDB, bytes([0]) + bytes(int(q) for q in qtab))
     sof = seg(
         0xC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
@@ -726,7 +783,7 @@ def encode_jpeg_gray8(width: int, height: int, values, quant: int = 1) -> bytes:
     )
     sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     return (
-        b"\xff\xd8" + dqt + sof + dht + sos + bwr.finish() + b"\xff\xd9"
+        b"\xff\xd8" + dqt + sof + dht + dri + sos + bwr.finish() + b"\xff\xd9"
     )
 
 
@@ -762,7 +819,8 @@ def _encode_block(bwr, block, qtab, prev_dc, dc_codes, ac_codes, C):
 
 
 def encode_jpeg_ycbcr(
-    width: int, height: int, y, cb, cr, subsample: str = "420", quant: int = 1
+    width: int, height: int, y, cb, cr, subsample: str = "420", quant: int = 1,
+    restart_interval: int = 0,
 ) -> bytes:
     """REAL color baseline-JPEG encoder: three YCbCr components with
     interleaved MCUs — 4:4:4 (chroma at full resolution, MCU = 8×8) or
@@ -802,8 +860,14 @@ def encode_jpeg_ycbcr(
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
     bwr = _JpegBitWriter()
     prev_dc = [0, 0, 0]
+    mcu_n = rst_n = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                bwr.restart(rst_n)
+                rst_n = (rst_n + 1) & 7
+                prev_dc = [0, 0, 0]
+            mcu_n += 1
             for ci, ((hs, vs), pl) in enumerate(zip(samps, planes)):
                 for v in range(vs):
                     for h in range(hs):
@@ -829,6 +893,7 @@ def encode_jpeg_ycbcr(
         + seg(0xC0, sof_body)
         + seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
         + seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+        + (seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b"")
         + seg(0xDA, sos_body)
         + bwr.finish()
         + b"\xff\xd9"
@@ -860,6 +925,21 @@ class _JpegBitReader:
         self.nbits -= n
         self.acc &= (1 << self.nbits) - 1
         return out
+
+    def sync_restart(self) -> None:
+        """Byte-align at a restart boundary and consume the expected RSTn
+        marker (JPEG §B.2.1.2): discard pad bits, step over 0xFFD0-0xFFD7.
+        The caller resets the DC predictors."""
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+        else:
+            raise ValueError("expected JPEG restart marker")
 
 
 def _huff_decode(br: "_JpegBitReader", table: dict[tuple[int, int], int]) -> int:
@@ -901,6 +981,7 @@ def _decode_block(br, dc_table, ac_table, prev_dc: int):
     return zz, prev_dc
 
 
+@_codec_guard
 def _decode_jpeg_planes(b: bytes):
     """General baseline decoder: full segment walk, interleaved MCU scan
     with per-component sampling factors (4:4:4, 4:2:0, 4:2:2, ...),
@@ -919,6 +1000,7 @@ def _decode_jpeg_planes(b: bytes):
     width = height = None
     comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
     scan: list[tuple[int, int, int]] = []  # (comp_idx, dc_t, ac_t)
+    restart_interval = 0
     data = None
     while i + 4 <= len(b):
         if b[i] != 0xFF:
@@ -945,6 +1027,8 @@ def _decode_jpeg_planes(b: bytes):
                  body[8 + 3 * k])
                 for k in range(ncomp)
             ]
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xC4:
             j = 0
             while j < len(body):
@@ -967,6 +1051,10 @@ def _decode_jpeg_planes(b: bytes):
         i += 2 + ln
     if width is None or data is None or not scan:
         raise ValueError("JPEG missing SOF0/SOS")
+    if width == 0 or height == 0 or width * height > MAX_DECODE_PIXELS:
+        raise ValueError(f"JPEG dimensions {width}x{height} out of range")
+    if not comps or any(h < 1 or h > 4 or v < 1 or v > 4 for _, h, v, _ in comps):
+        raise ValueError("JPEG sampling factors out of range")
 
     end = data.rfind(b"\xff\xd9")
     br = _JpegBitReader(data[: end if end >= 0 else len(data)])
@@ -979,8 +1067,13 @@ def _decode_jpeg_planes(b: bytes):
         np.zeros((mcuy * v * 8, mcux * h * 8)) for _, h, v, _ in comps
     ]
     prev_dc = [0] * len(comps)
+    mcu_n = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                br.sync_restart()
+                prev_dc = [0] * len(comps)
+            mcu_n += 1
             for ci, dc_t, ac_t in scan:
                 _, hs, vs, tq = comps[ci]
                 q = np.asarray(qtabs[tq], dtype=np.float64)
@@ -1054,6 +1147,27 @@ def decode_values(b: bytes) -> tuple[str, list[int] | None]:
     if fmt == "wav":
         return "wav", decode_wav_pcm16(bytes(b))
     return "unknown", None
+
+
+@_codec_guard
+def decode_gray_image(b: bytes) -> tuple[str, int | None, int | None, list[int] | None]:
+    """(format, width, height, gray pixels) with the dimensions OF THE
+    DECODED PIXEL BUFFER — for GIF that is the FIRST FRAME's own rect
+    (fw, fh), which may be smaller than the logical screen in the header,
+    so callers that reshape (resize) never see a w*h/len mismatch.
+    Non-image formats → (fmt, None, None, None)."""
+    fmt = _parse_header(bytes(b))[0]
+    if fmt == "png":
+        _f, w, h = _parse_header(bytes(b))[:3]
+        return "png", w, h, decode_png_gray8(bytes(b))
+    if fmt == "gif":
+        _left, _top, fw, fh, px = next(iter(_gif_walk_frames(bytes(b))))
+        return "gif", fw, fh, px
+    if fmt == "jpeg":
+        w, h, planes, _s = _decode_jpeg_planes(bytes(b))
+        pl = planes[0]
+        return "jpeg", pl.shape[1], pl.shape[0], [int(v) for v in pl.reshape(-1)]
+    return fmt, None, None, None
 
 
 DECODE_STATS_SCHEMA = T.StructType(
@@ -1220,13 +1334,21 @@ def resize_images(df: DataFrame, out_w: int, out_h: int,
                 if payload is None:
                     fmts.append(None), ows.append(None), ohs.append(None), outs.append(None)
                     continue
-                b = bytes(payload)
-                fmt, w0, h0 = _parse_header(b)[:3]
+                # per-row guard: one corrupt payload must not abort the
+                # whole job — it degrades to a null row like non-images do
+                try:
+                    fmt, w0, h0, vals = decode_gray_image(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    try:
+                        bad_fmt = _parse_header(bytes(payload))[0]
+                    except Exception:
+                        bad_fmt = None
+                    fmts.append(bad_fmt), ows.append(None), ohs.append(None), outs.append(None)
+                    continue
                 fmts.append(fmt)
-                if fmt not in ("png", "gif", "jpeg") or not w0 or not h0:
+                if vals is None or not w0 or not h0:
                     ows.append(None), ohs.append(None), outs.append(None)
                     continue
-                _, vals = decode_values(b)
                 resized = resize_gray(vals, w0, h0, out_w, out_h, method)
                 ows.append(out_w), ohs.append(out_h)
                 outs.append(encode_png_gray8(out_w, out_h, resized))

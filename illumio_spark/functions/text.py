@@ -263,7 +263,7 @@ def rolling_fingerprint(text: pd.Series) -> pd.Series:
 
 def bigram_lm_scores(
     df: "DataFrame", id_col: str = "doc_id", text_col: str = "text",
-    alpha: float = 0.1,
+    alpha: float = 0.1, quantize: float | None = None,
 ) -> "DataFrame":
     """Corpus-trained bigram language-model quality score per document —
     the statistical upgrade to the heuristic quality_columns filter: docs
@@ -274,6 +274,17 @@ def bigram_lm_scores(
     Returns (id, n_bigrams, avg_log2_prob) where
     P(b|a) = (c(a,b)+alpha) / (c(a)+alpha*V), add-alpha smoothed.
 
+    The vocabulary size V is computed INSIDE the plan (row count of the
+    unigram table, cross-joined as a 1-row broadcast) — building this plan
+    launches no Spark job, and one lineage serves all three count tables.
+
+    With quantize set (e.g. 1e6), each per-bigram log2 term is rounded to
+    a LONG on that grid before the per-doc aggregation: integer addition
+    is order-independent, so the per-doc score is bit-stable across
+    partitionings, shuffle fetch orders, and engines — the mode the
+    cross-engine oracle row runs (float summation order would otherwise
+    drift a few ulps run-to-run). avg_log2_prob is then sum/(n*quantize).
+
     Scale shape (100 TB): pure DataFrame — one token explode feeds BOTH
     count tables (unigram groupBy, bigram groupBy with map-side partial
     aggregation), per-doc scoring is two equi-joins on token keys + one
@@ -281,8 +292,6 @@ def bigram_lm_scores(
     splitting handles the hot-token join keys. No UDF anywhere."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
-
-    from illumio_spark.operators.dedup import exploded_shingles
 
     toks = df.select(
         id_col,
@@ -297,19 +306,26 @@ def bigram_lm_scores(
 
     uni = toks.groupBy(F.col("__tok").alias("__a")).agg(F.count("*").alias("__ca"))
     bi = pairs.groupBy("__a", "__b").agg(F.count("*").alias("__cab"))
-    v = toks.select("__tok").distinct().count()
+    vocab = uni.agg(F.count("*").alias("__v"))
 
+    lp = F.log2(
+        (F.col("__cab") + F.lit(alpha))
+        / (F.col("__ca") + F.lit(alpha) * F.col("__v"))
+    )
     scored = (
         pairs.join(bi, ["__a", "__b"])
         .join(uni, "__a")
-        .withColumn(
-            "__lp",
-            F.log2(
-                (F.col("__cab") + F.lit(alpha))
-                / (F.col("__ca") + F.lit(alpha * v))
-            ),
-        )
+        .crossJoin(F.broadcast(vocab))
     )
+    if quantize is not None:
+        scored = scored.withColumn(
+            "__lp_q", F.round(lp * F.lit(quantize)).cast("long")
+        )
+        return scored.groupBy(id_col).agg(
+            F.count("*").alias("n_bigrams"),
+            (F.sum("__lp_q") / (F.count("*") * F.lit(quantize))).alias("avg_log2_prob"),
+        )
+    scored = scored.withColumn("__lp", lp)
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_bigrams"),
         F.avg("__lp").alias("avg_log2_prob"),

@@ -273,6 +273,7 @@ def lsh_neardup_pairs(
 def ivf_train_centroids(
     emb: DataFrame, vec_col: str = "embedding", n_centroids: int = 64,
     sample_n: int = 20000, iters: int = 10, seed: int = LSH_SEED,
+    order_col: str = "vec_id",
 ) -> np.ndarray:
     """Spherical k-means centroids from a corpus sample (Lloyd iterations
     on the unit sphere: assign by max dot product, re-mean, renormalize).
@@ -280,9 +281,17 @@ def ivf_train_centroids(
     Training is deliberately driver-side numpy over a bounded SAMPLE —
     the standard IVF recipe (faiss trains on ~100k-1M points regardless of
     corpus size); the full corpus only ever sees the broadcast centroids
-    in the assignment pass. Deterministic under the seed."""
-    pdf = emb.select(vec_col).limit(sample_n).toPandas()
+    in the assignment pass. Deterministic under the seed: the sample is
+    the first sample_n rows by order_col (TakeOrdered — a per-partition
+    top-k merge, not a full sort), so the training set no longer depends
+    on partitioning or plan choice."""
+    pdf = (
+        emb.select(order_col, vec_col).orderBy(order_col).limit(sample_n)
+        .select(vec_col).toPandas()
+    )
     x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+    if x.size == 0:
+        raise ValueError("cannot train IVF centroids on an empty corpus")
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.Generator(np.random.PCG64(seed))
     cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
@@ -343,7 +352,7 @@ def ivf_topk(
     IVF adapts to the data distribution (clustered corpora), hyperplane
     LSH is data-independent."""
     if centroids is None:
-        centroids = ivf_train_centroids(emb, vec_col, n_centroids)
+        centroids = ivf_train_centroids(emb, vec_col, n_centroids, order_col=id_col)
     ev = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     qv = queries.select(F.col(qid_col), F.col(qvec_col).cast("array<double>").alias("qv"))
     e = ev.select(

@@ -368,13 +368,16 @@ def a7_count_distinct(spark, sf_dir):
     )
 
 
-@q(
-    "a9_growth_window",
-    """
+# A9 was driver-green r1-r4 with unchanged code; rotated out of the
+# 50-entry window in r5 to make room for the text-hygiene trio (VERDICT r4
+# task 1). Still oracle-checked every pytest run via
+# tests/test_retired_queries.py against this SQL.
+A9_SQL = """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_24h FROM events
     WHERE ts >= (SELECT MAX(ts) - INTERVAL 1 DAY FROM events)
-    """,
-)
+    """
+
+
 def a9_growth_window(spark, sf_dir):
     # reference: logs in last 1h/24h windows (db_stats.py:68-85)
     ev = load(spark, sf_dir, "events")
@@ -433,9 +436,10 @@ def a12_deterministic_sample(spark, sf_dir):
 # the total_chars/avg_chars columns of j3_dead_letter_reasons above)
 
 
-@q(
-    "q1_pricing_summary",
-    """
+# Q1 was driver-green r1-r4 with unchanged code; rotated out in r5 for the
+# text-hygiene trio (VERDICT r4 task 1). Still oracle-checked every pytest
+# run via tests/test_retired_queries.py against this SQL.
+Q1_SQL = """
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2) AS sum_qty,
            ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
@@ -445,8 +449,9 @@ def a12_deterministic_sample(spark, sf_dir):
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
-    """,
-)
+    """
+
+
 def q1_pricing_summary(spark, sf_dir):
     # headline scan-agg (TPC-H Q1 shape): partial agg map-side, 4 groups
     li = load(spark, sf_dir, "lineitem")
@@ -463,17 +468,19 @@ def q1_pricing_summary(spark, sf_dir):
     )
 
 
-@q(
-    "q3_revenue_topn",
-    """
+# Q3 was driver-green r1-r4 with unchanged code; rotated out in r5 for the
+# codec oracle rows (VERDICT r4 task 4). Still oracle-checked every pytest
+# run via tests/test_retired_queries.py against this SQL.
+Q3_SQL = """
     SELECT o_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
     FROM customer JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
     WHERE c_mktsegment = 'BUILDING'
     GROUP BY o_orderkey
     ORDER BY revenue DESC, o_orderkey LIMIT 10
-    """,
-)
+    """
+
+
 def q3_revenue_topn(spark, sf_dir):
     # headline join-agg (TPC-H Q3 shape): broadcast dim, shuffle on orderkey
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")

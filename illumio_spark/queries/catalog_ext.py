@@ -264,7 +264,9 @@ _Q5_SQL = """
 """
 
 
-@q("sql_q5_local_supplier", _Q5_SQL)
+# sql_q5 was driver-green r2-r4 with unchanged code; rotated out in r5 for
+# the codec oracle rows (VERDICT r4 task 4). Still oracle-checked every
+# pytest run via tests/test_retired_queries.py (_Q5_SQL above is the oracle).
 def sql_q5_local_supplier(spark, sf_dir):
     # the SQL-API surface: the SAME ANSI SQL text runs on both engines —
     # spark.sql over temp views vs DuckDB over the same parquet. Catalyst
@@ -274,14 +276,16 @@ def sql_q5_local_supplier(spark, sf_dir):
     return spark.sql(_Q5_SQL)
 
 
-@q(
-    "set_intersect_users",
-    """
+# set_intersect was driver-green r1-r4 with unchanged code; rotated out in
+# r5 for the text-hygiene trio (VERDICT r4 task 1). Still oracle-checked
+# every pytest run via tests/test_retired_queries.py against this SQL.
+SET_INTERSECT_SQL = """
     SELECT user_id FROM events WHERE event_type = 'click'
     INTERSECT
     SELECT user_id FROM events WHERE event_type = 'purchase'
-    """,
-)
+    """
+
+
 def set_intersect_users(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     return ev.filter(F.col("event_type") == "click").select("user_id").intersect(

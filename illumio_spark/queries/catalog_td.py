@@ -912,3 +912,320 @@ def td_sessionize(spark, sf_dir):
         F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
         F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text hygiene (round-5 driver rotation: bigram LM, PII scrub, repetition)
+# ---------------------------------------------------------------------------
+
+_BIGRAM_LM_SQL = """
+    WITH toks AS (
+        SELECT doc_id, unnest(l) AS a, generate_subscripts(l, 1) AS pos
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(TRIM(text), '\\s+'),
+                                 x -> x <> '') AS l
+              FROM documents WHERE text IS NOT NULL)
+    ),
+    pp AS (
+        SELECT doc_id, a, b FROM (
+            SELECT doc_id, a,
+                   lead(a) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+            FROM toks)
+        WHERE b IS NOT NULL
+    ),
+    uni AS (SELECT a, COUNT(*) AS ca FROM toks GROUP BY a),
+    bi AS (SELECT a, b, COUNT(*) AS cab FROM pp GROUP BY a, b),
+    v AS (SELECT COUNT(*) AS nv FROM uni)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           SUM(lpq) / (COUNT(*) * 1000000.0) AS avg_log2_prob
+    FROM (
+        SELECT pp.doc_id,
+               CAST(ROUND(log2((cab + 0.1) / (ca + 0.1 * nv)) * 1000000.0)
+                    AS BIGINT) AS lpq
+        FROM pp JOIN bi USING (a, b) JOIN uni USING (a) CROSS JOIN v
+    )
+    GROUP BY doc_id
+"""
+
+
+@q("td_bigram_lm", _BIGRAM_LM_SQL)
+def td_bigram_lm(spark, sf_dir):
+    """Corpus-trained bigram-LM quality score, cross-engine-checked: the
+    per-bigram log2 terms are quantized to a 1e-6 LONG grid before the
+    per-doc sum (integer addition is order-independent — bit-stable across
+    shuffle fetch orders AND engines), and the vocabulary size is computed
+    inside the plan, so building this query launches no eager job."""
+    d = load(spark, sf_dir, "documents")
+    return TX.bigram_lm_scores(d, quantize=1e6)
+
+
+def _pii_sql() -> str:
+    parts = ["s0 AS (SELECT doc_id, text AS t0 FROM documents)"]
+    for i, (kind, pat) in enumerate(TX.PII_PATTERNS):
+        p = pat.replace("'", "''")
+        parts.append(
+            f"s{i + 1} AS (SELECT * EXCLUDE (t{i}), "
+            f"CAST(len(regexp_extract_all(t{i}, '{p}')) AS INTEGER) AS n_{kind}, "
+            f"regexp_replace(t{i}, '{p}', '[{kind.upper()}]', 'g') AS t{i + 1} "
+            f"FROM s{i})"
+        )
+    n = len(TX.PII_PATTERNS)
+    cols = ", ".join(f"n_{kind}" for kind, _ in TX.PII_PATTERNS)
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT doc_id, {cols}, md5(t{n}) AS scrub_md5 FROM s{n}"
+    )
+
+
+@q("td_pii_scrub", _pii_sql())
+def td_pii_scrub(spark, sf_dir):
+    """PII scrub + per-kind hit counts (emails/SSNs/IPv4s/phones), the
+    standard pre-training hygiene pass: counts use the same precedence the
+    scrubber applies (each kind counted with earlier kinds already
+    redacted), and the redacted text itself is equality-gated via md5 —
+    the oracle re-runs the identical replace chain in DuckDB (the patterns
+    are written to parse identically under Java regex and RE2)."""
+    d = load(spark, sf_dir, "documents")
+    cols = TX.pii_counts(F.col("text"))
+    return d.select(
+        "doc_id",
+        *[c.alias(name) for name, c in cols.items()],
+        F.md5(TX.scrub_pii(F.col("text"))).alias("scrub_md5"),
+    )
+
+
+_REPETITION_SQL = """
+    WITH lines AS (
+        SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+        FROM documents
+    ),
+    ls AS (
+        SELECT doc_id, (SUM(c) - COUNT(*)) / SUM(c) AS dup_line_frac
+        FROM (SELECT doc_id, line, COUNT(*) AS c FROM lines
+              WHERE TRIM(line) <> '' GROUP BY doc_id, line)
+        GROUP BY doc_id
+    ),
+    toks AS (
+        SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(TRIM(text), '\\s+'),
+                                 x -> x <> '') AS l
+              FROM documents WHERE text IS NOT NULL)
+    ),
+    bg AS (
+        SELECT doc_id, b FROM (
+            SELECT doc_id,
+                   tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b,
+                   lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+            FROM toks)
+        WHERE nxt IS NOT NULL
+    ),
+    bs AS (
+        SELECT doc_id, MAX(c) / SUM(c) AS top_bigram_frac
+        FROM (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b)
+        GROUP BY doc_id
+    )
+    SELECT COALESCE(ls.doc_id, bs.doc_id) AS doc_id,
+           dup_line_frac, top_bigram_frac
+    FROM ls FULL OUTER JOIN bs ON ls.doc_id = bs.doc_id
+"""
+
+
+@q("td_repetition_signals", _REPETITION_SQL)
+def td_repetition_signals(spark, sf_dir):
+    """Gopher/C4 repetition filters (dup-line fraction + top-bigram
+    fraction) cross-engine-checked: both fractions are single divisions of
+    exact integer aggregates, so the doubles are bit-identical between
+    engines with no rounding needed."""
+    d = load(spark, sf_dir, "documents")
+    return TX.repetition_signals(d)
+
+
+# ---------------------------------------------------------------------------
+# codec plumbing, oracle-gated (round-5: resize + audio features join
+# td_decode_stats in the closed-form-corpus pattern)
+# ---------------------------------------------------------------------------
+
+_RESIZE_STATS_SQL = """
+    WITH src AS (
+        SELECT event_id, event_id % 3 AS m,
+               CASE event_id % 3
+                    WHEN 0 THEN event_id % 8 + 2
+                    WHEN 1 THEN event_id % 7 + 2
+                    ELSE ((event_id // 3) % 3 + 1) * 8 END AS w,
+               CASE event_id % 3
+                    WHEN 0 THEN event_id % 6 + 2
+                    WHEN 1 THEN event_id % 5 + 2
+                    ELSE ((event_id // 3) % 2 + 1) * 8 END AS h
+        FROM events WHERE event_id < 600
+    ),
+    vals AS (
+        SELECT event_id, m,
+               list_transform(range(0, 12), p ->
+                   CASE m
+                   WHEN 0 THEN (event_id * 7
+                        + (LEAST(((2 * (p // 4) + 1) * h) // 6, h - 1) * w
+                           + LEAST(((2 * (p % 4) + 1) * w) // 8, w - 1)) * 13) % 256
+                   WHEN 1 THEN (event_id * 11
+                        + (LEAST(((2 * (p // 4) + 1) * h) // 6, h - 1) * w
+                           + LEAST(((2 * (p % 4) + 1) * w) // 8, w - 1)) * 17) % 256
+                   ELSE (event_id * 13
+                        + (LEAST(((2 * (p // 4) + 1) * h) // 6, h - 1) // 8) * 5
+                        + (LEAST(((2 * (p % 4) + 1) * w) // 8, w - 1) // 8) * 3) % 256
+                   END) AS v
+        FROM src
+    )
+    SELECT event_id,
+           CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS media_format,
+           CAST(4 AS INTEGER) AS out_width,
+           CAST(3 AS INTEGER) AS out_height,
+           CAST(12 AS BIGINT) AS n_values,
+           CAST(list_sum(v) AS BIGINT) AS val_sum,
+           ROUND(CAST(list_sum(v) AS DOUBLE) / 12, 6) AS val_mean
+    FROM vals
+"""
+
+
+@q("td_resize_stats", _RESIZE_STATS_SQL)
+def td_resize_stats(spark, sf_dir):
+    """REAL image resize, oracle-checked end-to-end: PNG / GIF / baseline-
+    JPEG payloads (every third JPEG carrying RST restart markers) are
+    generated from event_id, run through resize_images (decode → nearest-
+    neighbor resample → PNG re-encode), decoded BACK by decode_stats, and
+    the oracle recomputes each output pixel in closed form — nearest-
+    neighbor's source index floor((out+0.5)*in/out) is integer-exact, and
+    constant-block q=1 JPEG decodes exactly, so the whole decode→resize→
+    encode→decode lineage is equality-gated with zero FP tolerance."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from illumio_spark.functions.multimodal import (
+        decode_stats,
+        encode_gif_gray8,
+        encode_jpeg_gray8,
+        encode_png_gray8,
+        resize_images,
+    )
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 600).select("event_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def payload(i: int) -> bytes:
+            m = i % 3
+            if m == 0:
+                w, h = i % 8 + 2, i % 6 + 2
+                vals = [(i * 7 + p * 13) % 256 for p in range(w * h)]
+                return encode_png_gray8(w, h, vals)
+            if m == 1:
+                w, h = i % 7 + 2, i % 5 + 2
+                vals = [(i * 11 + p * 17) % 256 for p in range(w * h)]
+                return encode_gif_gray8(w, h, vals)
+            nbx, nby = (i // 3) % 3 + 1, (i // 3) % 2 + 1
+            w, h = nbx * 8, nby * 8
+            vals = [
+                (i * 13 + (y // 8) * 5 + (x // 8) * 3) % 256
+                for y in range(h)
+                for x in range(w)
+            ]
+            return encode_jpeg_gray8(
+                w, h, vals, restart_interval=(2 if i % 6 >= 3 else 0)
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["event_id"], "payload": [payload(int(i)) for i in pdf["event_id"]]}
+            )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    rz = resize_images(ev.mapInPandas(gen, schema=schema), 4, 3, method="nearest")
+    st = decode_stats(rz.select("doc_id", F.col("resized_png").alias("payload")))
+    return (
+        rz.select("doc_id", F.col("media_format").alias("src_format"),
+                  "out_width", "out_height")
+        .join(st.select("doc_id", "n_values", "val_sum", "val_mean"), "doc_id")
+        .select(
+            F.col("doc_id").alias("event_id"),
+            F.col("src_format").alias("media_format"),
+            "out_width", "out_height", "n_values", "val_sum", "val_mean",
+        )
+    )
+
+
+_AUDIO_FEATURES_SQL = """
+    WITH sig AS (
+        SELECT event_id,
+               event_id % 30 + 8 AS n,
+               8000 + (event_id % 40) * 100 AS sr,
+               list_transform(range(0, event_id % 30 + 8),
+                   j -> CAST((event_id * 31 + j * 7) % 65536 - 32768 AS DOUBLE)) AS xs
+        FROM events WHERE event_id < 400
+    )
+    SELECT event_id,
+           CAST(sr AS INTEGER) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           sqrt(list_sum(list_transform(xs, v -> v * v)) / n) AS rms,
+           CAST(list_sum(list_transform(range(1, n),
+                j -> CASE WHEN (xs[j] < 0) <> (xs[j + 1] < 0) THEN 1 ELSE 0 END))
+                AS DOUBLE) / (n - 1) AS zcr,
+           ROUND(
+               list_sum(list_transform(range(0, n // 2 + 1),
+                   b -> b * sr / CAST(n AS DOUBLE) * sqrt(
+                       pow(list_sum(list_transform(range(0, n),
+                           j -> xs[j + 1] * cos(2 * pi() * b * j / n))), 2)
+                     + pow(list_sum(list_transform(range(0, n),
+                           j -> xs[j + 1] * sin(2 * pi() * b * j / n))), 2))))
+             / list_sum(list_transform(range(0, n // 2 + 1),
+                   b -> sqrt(
+                       pow(list_sum(list_transform(range(0, n),
+                           j -> xs[j + 1] * cos(2 * pi() * b * j / n))), 2)
+                     + pow(list_sum(list_transform(range(0, n),
+                           j -> xs[j + 1] * sin(2 * pi() * b * j / n))), 2)))),
+               2) AS spectral_centroid_hz
+    FROM sig
+"""
+
+
+@q("td_audio_features", _AUDIO_FEATURES_SQL)
+def td_audio_features(spark, sf_dir):
+    """REAL audio features, oracle-checked end-to-end: WAV/PCM16 payloads
+    are generated from event_id, audio_features decodes + computes
+    RMS/ZCR/spectral centroid, and the oracle recomputes them in DuckDB —
+    RMS and ZCR are single divisions of EXACT integer sums (bit-identical
+    doubles, zero tolerance), and the spectral centroid is re-derived from
+    a literal O(n^2) DFT in SQL (trig sums), rounded to 2 decimals on both
+    sides to absorb FFT-vs-naive-DFT summation-order ulps."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from illumio_spark.functions.multimodal import audio_features, encode_wav_pcm16
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 400).select("event_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def payload(i: int) -> bytes:
+            n = i % 30 + 8
+            sr = 8000 + (i % 40) * 100
+            samples = [((i * 31 + j * 7) % 65536) - 32768 for j in range(n)]
+            return encode_wav_pcm16(samples, sample_rate=sr, channels=1)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["event_id"], "payload": [payload(int(i)) for i in pdf["event_id"]]}
+            )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    af = audio_features(ev.mapInPandas(gen, schema=schema))
+    return af.select(
+        F.col("doc_id").alias("event_id"),
+        "sample_rate", "n_samples", "rms", "zcr",
+        F.round("spectral_centroid_hz", 2).alias("spectral_centroid_hz"),
+    )

@@ -247,14 +247,32 @@ class TableIO:
         import shutil
 
         if self.use_iceberg:
+            # Only "the procedure catalog isn't wired up" may fall through
+            # to the directory-manifest path (which describes plain-dir
+            # tables, not Iceberg metadata); a real rewrite_data_files
+            # failure must surface, not come back as -1/misleading stats.
+            import logging
+
             try:
                 spark.sql(
                     f"CALL local.system.rewrite_data_files(table => 'db.{table}', "
                     f"options => map('target-file-size-bytes', '{target_mb * 1024 * 1024}'))"
                 )
                 return {"runs": -1, "files_before": -1, "files_after": -1}
-            except Exception:
-                pass  # procedure catalog unavailable: fall through to dirs
+            except Exception as e:
+                msg = str(e).lower()
+                if not any(
+                    s in msg
+                    for s in (
+                        "procedure", "cannot resolve", "catalog", "not found",
+                        "parse_syntax_error",
+                    )
+                ):
+                    raise
+                logging.getLogger(__name__).warning(
+                    "Iceberg rewrite_data_files unavailable (%s); "
+                    "falling back to directory compaction", e,
+                )
         stats = {"runs": 0, "files_before": 0, "files_after": 0}
         for r in self._load_manifest(table)["runs"]:
             if run_id is not None and r["run_id"] != run_id:

@@ -67,3 +67,106 @@ def test_jpeg_constant_blocks_exact(nb, data):
 @given(data=st.binary(min_size=0, max_size=30000))
 def test_gif_lzw_roundtrip_any_bytes(data):
     assert MM._lzw_decode_gif(MM._lzw_encode_gif(data, 8), 8) == data
+
+
+@settings(max_examples=20, deadline=None)
+@given(dims=_dims, data=st.data(), interval=st.integers(1, 5))
+def test_jpeg_restart_markers_roundtrip(dims, data, interval):
+    # DRI/RSTn path (real files commonly carry restart intervals): byte
+    # realign + DC predictor reset must reproduce the no-marker decode
+    w, h = dims
+    vals = data.draw(
+        st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h)
+    )
+    plain = MM.decode_jpeg_gray8(MM.encode_jpeg_gray8(w, h, vals))
+    with_rst = MM.decode_jpeg_gray8(
+        MM.encode_jpeg_gray8(w, h, vals, restart_interval=interval)
+    )
+    assert with_rst == plain
+
+
+@settings(max_examples=10, deadline=None)
+@given(data=st.data(), interval=st.integers(1, 3))
+def test_jpeg_color_restart_markers_roundtrip(data, interval):
+    w, h = 16, 16
+    y = data.draw(st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h))
+    cw = ch = 8
+    cb = data.draw(st.lists(st.integers(0, 255), min_size=cw * ch, max_size=cw * ch))
+    cr = data.draw(st.lists(st.integers(0, 255), min_size=cw * ch, max_size=cw * ch))
+    plain = MM.decode_jpeg_ycbcr(MM.encode_jpeg_ycbcr(w, h, y, cb, cr, "420"))
+    rst = MM.decode_jpeg_ycbcr(
+        MM.encode_jpeg_ycbcr(w, h, y, cb, cr, "420", restart_interval=interval)
+    )
+    assert rst == plain
+
+
+def test_gif_first_frame_smaller_than_screen_uses_frame_dims():
+    # the ADVICE r4 repro: a valid GIF whose first frame rect is smaller
+    # than the logical screen must decode/resize by the FRAME's own dims
+    import struct
+
+    fw, fh = 3, 2
+    frame = MM.encode_gif_gray8(fw, fh, [10, 20, 30, 40, 50, 60])
+    # blow up the logical screen descriptor (bytes 6-9) to 10x8
+    forged = frame[:6] + struct.pack("<HH", 10, 8) + frame[10:]
+    fmt, w, h, px = MM.decode_gray_image(forged)
+    assert (fmt, w, h) == ("gif", fw, fh)
+    assert px == [10, 20, 30, 40, 50, 60]
+    # resize_gray on the frame's own dims must not raise
+    out = MM.resize_gray(px, w, h, 4, 3, "nearest")
+    assert len(out) == 12
+
+
+# ---------------------------------------------------------------------------
+# hostile-bytes fuzz (VERDICT r4 task 5): the codecs parse UNTRUSTED
+# payloads — random truncations / bit flips / splices of valid streams must
+# raise ValueError/NotImplementedError cleanly (or decode), never escape a
+# TypeError/IndexError/struct.error and never hang
+# ---------------------------------------------------------------------------
+
+
+def _valid_payloads():
+    vals24 = [(p * 37) % 256 for p in range(24)]
+    return [
+        MM.encode_png_gray8(6, 4, vals24),
+        MM.encode_gif_gray8(6, 4, vals24),
+        MM.encode_jpeg_gray8(16, 8, [(p * 11) % 256 for p in range(128)]),
+        MM.encode_jpeg_gray8(16, 8, [(p * 11) % 256 for p in range(128)],
+                             restart_interval=1),
+        MM.encode_wav_pcm16([(s * 313) % 65536 - 32768 for s in range(40)], 8000),
+    ]
+
+
+@settings(max_examples=300, deadline=None)
+@given(data=st.data())
+def test_decoders_never_escape_nonvalue_errors_on_mutated_payloads(data):
+    base = bytearray(data.draw(st.sampled_from(_valid_payloads())))
+    # truncate and/or corrupt
+    cut = data.draw(st.integers(0, len(base)))
+    mutated = bytearray(base[:cut]) if data.draw(st.booleans()) else bytearray(base)
+    for _ in range(data.draw(st.integers(0, 8))):
+        if not mutated:
+            break
+        pos = data.draw(st.integers(0, len(mutated) - 1))
+        mutated[pos] ^= 1 << data.draw(st.integers(0, 7))
+    payload = bytes(mutated)
+    for fn in (MM.decode_values, MM.decode_gray_image):
+        try:
+            fn(payload)
+        except (ValueError, NotImplementedError):
+            pass  # the contract: clean, catchable codec errors only
+
+
+@settings(max_examples=150, deadline=None)
+@given(junk=st.binary(min_size=0, max_size=64), data=st.data())
+def test_decoders_never_escape_on_forged_headers(junk, data):
+    # junk spliced after a real magic prefix: parser walks garbage structure
+    magic = data.draw(st.sampled_from(
+        [b"\x89PNG\r\n\x1a\n", b"GIF89a", b"\xff\xd8", b"RIFF"]
+    ))
+    payload = magic + junk
+    for fn in (MM.decode_values, MM.decode_gray_image):
+        try:
+            fn(payload)
+        except (ValueError, NotImplementedError):
+            pass

@@ -164,3 +164,22 @@ def test_wholestage_codegen_covers_format(spark):
     # the routed_text concat must live inside a codegen'd subtree, not an
     # interpreted projection
     assert "original_message=" in txt
+
+
+def test_bigram_lm_plan_builds_without_eager_job(spark):
+    # VERDICT r4 task 2: the vocabulary size must be computed INSIDE the
+    # plan (broadcast 1-row aggregate), not via an eager distinct().count()
+    # job fired while merely constructing the DataFrame
+    from illumio_spark.functions.text import bigram_lm_scores
+
+    sc = spark.sparkContext
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sc.setJobGroup("bigram-plan-build", "must not launch jobs")
+    try:
+        df = bigram_lm_scores(docs, quantize=1e6)
+        jobs = sc.statusTracker().getJobIdsForGroup("bigram-plan-build")
+    finally:
+        sc.setJobGroup(None, None)
+    assert list(jobs) == [], f"plan build launched Spark jobs: {jobs}"
+    # and the plan still executes correctly downstream
+    assert df.limit(5).count() >= 0

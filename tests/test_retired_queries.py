@@ -7,7 +7,10 @@ import duckdb
 import pytest
 
 SF = "/root/testdata/sf0.001"
-TABLES = ["events", "documents", "orders"]
+TABLES = [
+    "events", "documents", "orders", "lineitem", "customer",
+    "supplier", "nation", "region",
+]
 
 
 def _oracle(sql: str):
@@ -56,3 +59,36 @@ def test_p11_filename_ts_parse_matches_oracle(spark):
     from illumio_spark.queries.catalog import P11_SQL, p11_filename_ts_parse
 
     _compare(p11_filename_ts_parse(spark, SF), P11_SQL)
+
+
+# --- rotated out in r5 for the text-hygiene trio + codec oracle rows -----
+
+
+def test_q1_pricing_summary_matches_oracle(spark):
+    from illumio_spark.queries.catalog import Q1_SQL, q1_pricing_summary
+
+    _compare(q1_pricing_summary(spark, SF), Q1_SQL)
+
+
+def test_q3_revenue_topn_matches_oracle(spark):
+    from illumio_spark.queries.catalog import Q3_SQL, q3_revenue_topn
+
+    _compare(q3_revenue_topn(spark, SF), Q3_SQL)
+
+
+def test_a9_growth_window_matches_oracle(spark):
+    from illumio_spark.queries.catalog import A9_SQL, a9_growth_window
+
+    _compare(a9_growth_window(spark, SF), A9_SQL)
+
+
+def test_set_intersect_users_matches_oracle(spark):
+    from illumio_spark.queries.catalog_ext import SET_INTERSECT_SQL, set_intersect_users
+
+    _compare(set_intersect_users(spark, SF), SET_INTERSECT_SQL)
+
+
+def test_sql_q5_local_supplier_matches_oracle(spark):
+    from illumio_spark.queries.catalog_ext import _Q5_SQL, sql_q5_local_supplier
+
+    _compare(sql_q5_local_supplier(spark, SF), _Q5_SQL)
