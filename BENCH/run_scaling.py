@@ -370,8 +370,20 @@ dead-letter routing, rollups and checkpoints in the same pass.
 Regenerate: `python BENCH/run_scaling.py` (append a session) or
 `python BENCH/run_scaling.py --render-only` (re-render from history).
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # hand-written analysis below the marker survives re-renders (a round-4
+    # note was once silently dropped by a re-render; never again)
+    marker = "<!-- hand-notes: preserved across re-renders -->"
+    notes = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            old = f.read()
+        if marker in old:
+            notes = old[old.index(marker):]
+    with open(path, "w") as f:
         f.write(md)
+        if notes:
+            f.write("\n" + notes)
 
 
 if __name__ == "__main__":

@@ -48,6 +48,9 @@ HEADLINE = [
     "td_decontaminate",
     "td_hash_embed_pairs",
     "td_ann_ivf_topk",
+    "td_bigram_lm",
+    "td_pii_scrub",
+    "td_repetition_signals",
 ]
 
 
