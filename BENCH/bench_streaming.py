@@ -78,6 +78,7 @@ def main():
         dedup_stream,
         sessionize_batch,
         sessionize_stream,
+        sessionize_stream_native,
     )
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -119,6 +120,14 @@ def main():
     )
     result["sessionize_stream"] = r
     result["sessionize_stream_rows_per_sec"] = round(n_turns / r["elapsed_s"], 1)
+
+    # JVM-native session_window variant (append mode → parquet sink works)
+    r = run_stream(
+        spark, lambda s: sessionize_stream_native(s, watermark="96 hours"),
+        input_dir, "sessionize_native",
+    )
+    result["sessionize_stream_native"] = r
+    result["sessionize_native_rows_per_sec"] = round(n_turns / r["elapsed_s"], 1)
 
     spark.stop()
     with open(os.path.join(ROOT, "BENCH", "streaming_point.json"), "w") as f:

@@ -120,6 +120,39 @@ def sessionize_batch(df: DataFrame) -> DataFrame:
     )
 
 
+def sessionize_stream_native(
+    stream: DataFrame, watermark: str = "30 minutes", gap: str | None = None
+) -> DataFrame:
+    """JVM-native streaming sessionizer via ``F.session_window`` — the
+    fast path when sessions only need AGGREGATES (count/sum/min/max): the
+    whole operator stays in Tungsten state management, no Python worker,
+    no pandas group invocations, no state ser/de.
+
+    Measured (BENCH/streaming_point.json): the applyInPandasWithState
+    path pays ~14× batch cost on 75 k small groups because its cost is
+    per-GROUP Python; this plan's cost is per-row JVM. Use
+    ``sessionize_stream`` only when the session logic genuinely needs
+    imperative per-turn state (custom timeout actions, per-turn lineage);
+    emits one row per CLOSED session (append mode — watermark must pass
+    the session gap before a row appears, the session_window contract)."""
+    gap = gap if gap is not None else watermark
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window(F.col("ts"), gap), F.col("conv_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.coalesce(F.length("text"), F.lit(0))).alias("n_chars"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            "conv_id", "n_turns", "n_chars", "first_ts", "last_ts",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+        )
+    )
+
+
 def dedup_stream(
     stream: DataFrame,
     keys: list[str] | None = None,

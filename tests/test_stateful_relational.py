@@ -155,3 +155,73 @@ def test_committed_days_propagates_corrupt_manifest(spark, tmp_path):
         f.write("{not json")
     with pytest.raises(Exception):
         committed_days(spark, io).count()
+
+
+def test_sessionize_stream_native_matches_batch_for_closed_sessions(spark):
+    """JVM session_window path: closed sessions must equal the batch
+    aggregate exactly, and a >gap quiet period must split a conversation
+    into two session rows. A late sentinel conversation in a second file
+    (maxFilesPerTrigger=1 → second micro-batch) advances the watermark so
+    conv A's sessions close and emit in append mode."""
+    import numpy as np
+    import pandas as pd
+
+    from illumio_spark.streaming.stateful import sessionize_stream_native
+
+    t0 = pd.Timestamp("2026-01-10 12:00:00")
+
+    def mk(conv, times, start_idx=0):
+        return pd.DataFrame(
+            {
+                "conv_id": conv,
+                "turn_idx": np.arange(start_idx, start_idx + len(times), dtype="int32"),
+                "role": "user",
+                "text": [f"turn {i}" for i in range(len(times))],
+                "tool": None,
+                "ts": pd.Series(
+                    [t0 + pd.Timedelta(seconds=s) for s in times]
+                ).astype("datetime64[us]"),
+            }
+        )
+
+    input_dir = tempfile.mkdtemp(prefix="native_sess_in_")
+    # conv A: burst 1 (0,10,20 s), quiet 120 s > 60 s gap, burst 2 (140,150 s)
+    synth.write_parquet(
+        pd.concat([mk("conv-A", [0, 10, 20]), mk("conv-A", [140, 150], 3)]),
+        os.path.join(input_dir, "part-0.parquet"),
+    )
+    # sentinel a day later pushes the watermark past conv A entirely
+    synth.write_parquet(mk("conv-Z", [86400]), os.path.join(input_dir, "part-1.parquet"))
+
+    from illumio_spark import schema as S
+
+    stream = (
+        spark.readStream.schema(S.TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    ckpt = tempfile.mkdtemp(prefix="native_sess_ckpt_")
+    q = (
+        sessionize_stream_native(stream, watermark="0 seconds", gap="60 seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("native_sessions")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.sql("select * from native_sessions").toPandas()
+        .sort_values("session_start").reset_index(drop=True)
+    )
+    a = got[got.conv_id == "conv-A"]
+    assert len(a) == 2, f"expected 2 closed sessions for conv-A, got\n{got}"
+    assert a["n_turns"].tolist() == [3, 2]
+    assert a["n_chars"].tolist() == [3 * len("turn 0"), 2 * len("turn 0")]
+    assert a["first_ts"].tolist() == [t0, t0 + pd.Timedelta(seconds=140)]
+    assert a["last_ts"].tolist() == [
+        t0 + pd.Timedelta(seconds=20), t0 + pd.Timedelta(seconds=150)
+    ]
+    # the sentinel's own session is still open (nothing after it) → absent
+    assert (got.conv_id == "conv-Z").sum() == 0
