@@ -51,6 +51,7 @@ HEADLINE = [
     "td_bigram_lm",
     "td_pii_scrub",
     "td_repetition_signals",
+    "td_c4_filters",
 ]
 
 
@@ -62,7 +63,11 @@ def bench_overrides() -> dict:
     in tests/test_dedup_similarity.py). The bench measures the path a real
     deployment runs."""
     from illumio_spark.operators import dedup as D
-    from illumio_spark.queries.catalog import q1_pricing_summary, q3_revenue_topn
+    from illumio_spark.queries.catalog import (
+        a7_count_distinct,
+        q1_pricing_summary,
+        q3_revenue_topn,
+    )
     from illumio_spark.queries.catalog_td import _neardup_corpus
 
     return {
@@ -71,6 +76,7 @@ def bench_overrides() -> dict:
         # scan-agg / join-agg headline numbers stay round-comparable
         "q1_pricing_summary": q1_pricing_summary,
         "q3_revenue_topn": q3_revenue_topn,
+        "a7_count_distinct": a7_count_distinct,
         "td_minhash_lsh_pairs": lambda spark, sf_dir: D.minhash_lsh_pairs(
             _neardup_corpus(spark, sf_dir), hash_fn="xxhash64"
         ),

@@ -488,15 +488,32 @@ def _gif_subblocks(data: bytes) -> bytes:
     return bytes(out)
 
 
-def encode_gif_gray8(width: int, height: int, values) -> bytes:
+def _gif_interlace_rows(height: int) -> list[int]:
+    """GIF89a Appendix E interlace order: rows in four passes starting at
+    0/4/2/1 with strides 8/8/4/2."""
+    order: list[int] = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, height, step))
+    return order
+
+
+def encode_gif_gray8(
+    width: int, height: int, values, interlaced: bool = False
+) -> bytes:
     """Minimal REAL GIF89a encoder: 256-entry grayscale global color table
     (palette[i] = (i,i,i), so pixel index == gray value), one image block,
-    real LZW-compressed data in ≤255-byte sub-blocks."""
+    real LZW-compressed data in ≤255-byte sub-blocks. interlaced=True
+    stores rows in the four-pass Appendix-E order with the interlace flag
+    set (what the decoder must undo)."""
     import struct
 
     assert len(values) == width * height
     palette = bytes(v for i in range(256) for v in (i, i, i))
-    pixels = bytes(int(v) & 0xFF for v in values)
+    vals = [int(v) & 0xFF for v in values]
+    if interlaced:
+        rows = _gif_interlace_rows(height)
+        vals = [vals[y * width + x] for y in rows for x in range(width)]
+    pixels = bytes(vals)
     return (
         b"GIF89a"
         + struct.pack("<HH", width, height)
@@ -504,7 +521,7 @@ def encode_gif_gray8(width: int, height: int, values) -> bytes:
         + palette
         + b"\x2c"
         + struct.pack("<HHHH", 0, 0, width, height)
-        + b"\x00"  # no local color table, not interlaced
+        + bytes([0x40 if interlaced else 0x00])  # no LCT; interlace flag
         + bytes([8])  # LZW min code size
         + _gif_subblocks(_lzw_encode_gif(pixels, 8))
         + b"\x3b"
@@ -542,8 +559,6 @@ def _gif_walk_frames(b: bytes):
                 n = 2 << (ipacked & 0x07)
                 ct = b[i : i + 3 * n]
                 i += 3 * n
-            if ipacked & 0x40:
-                raise NotImplementedError("interlaced GIF not supported")
             if ct is None:
                 raise ValueError("GIF image has no color table")
             min_code_size = b[i]
@@ -554,8 +569,16 @@ def _gif_walk_frames(b: bytes):
                 i += 1 + b[i]
             i += 1  # block terminator
             indices = _lzw_decode_gif(bytes(data), min_code_size)
+            px = [ct[3 * ix] for ix in indices]
+            if ipacked & 0x40:  # deinterlace: undo the 4-pass row order
+                if len(px) != fw * fh:
+                    raise ValueError("interlaced GIF pixel count mismatch")
+                out = [0] * (fw * fh)
+                for stored, y in enumerate(_gif_interlace_rows(fh)):
+                    out[y * fw : (y + 1) * fw] = px[stored * fw : (stored + 1) * fw]
+                px = out
             found = True
-            yield left, top, fw, fh, [ct[3 * ix] for ix in indices]
+            yield left, top, fw, fh, px
         elif block == 0x3B:
             break
         else:
@@ -569,7 +592,8 @@ def decode_gif_gray(b: bytes) -> list[int]:
     """REAL GIF pixel decode (first frame): header + color-table walk,
     extension skip, sub-block reassembly, full LZW expansion; returns the
     gray value of each pixel (palette red channel — exact for grayscale
-    palettes). Interlaced images are out of scope for this engine."""
+    palettes). Interlaced images deinterlace via the Appendix-E 4-pass
+    row order."""
     return next(iter(_gif_walk_frames(b)))[4]
 
 
@@ -1014,10 +1038,19 @@ def _decode_jpeg_planes(b: bytes):
             j = 0
             while j < len(body):
                 pq, tq = body[j] >> 4, body[j] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables unsupported")
-                qtabs[tq] = list(body[j + 1 : j + 65])
-                j += 65
+                if pq == 0:  # 8-bit entries
+                    qtabs[tq] = list(body[j + 1 : j + 65])
+                    j += 65
+                elif pq == 1:  # 16-bit big-endian entries (ITU T.81 B.2.4.1)
+                    ent = body[j + 1 : j + 129]
+                    if len(ent) < 128:
+                        raise ValueError("truncated 16-bit quant table")
+                    qtabs[tq] = [
+                        (ent[2 * k] << 8) | ent[2 * k + 1] for k in range(64)
+                    ]
+                    j += 129
+                else:
+                    raise ValueError(f"bad DQT precision {pq}")
         elif marker in (0xC1, 0xC2):
             raise NotImplementedError("only baseline sequential JPEG supported")
         elif marker == 0xC0:

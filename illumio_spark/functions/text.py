@@ -418,3 +418,78 @@ def repetition_signals(
         .agg((F.max("__c") / F.sum("__c")).alias("top_bigram_frac"))
     )
     return line_stats.join(bi_stats, id_col, "full_outer")
+
+
+def c4_quality_signals(
+    df: "DataFrame", id_col: str = "doc_id", text_col: str = "text"
+) -> "DataFrame":
+    """C4/Gopher page-quality signals + the composed keep flag — the
+    line/page filters of Raffel et al. (C4) and Rae et al. (Gopher):
+
+      frac_lines_end_punct — fraction of non-empty lines ending in
+                             terminal punctuation (C4 keeps such lines);
+      n_sentences          — count of sentence terminators [.!?];
+      has_lorem_ipsum      — placeholder-text marker (C4 page drop);
+      has_curly_brace      — code marker '{' (C4 page drop);
+      frac_alpha_words     — fraction of words containing a letter
+                             (Gopher: >= 0.8);
+      mean_word_len        — Gopher: within [3, 10];
+      c4_keep              — the conjunction (>=3 sentences, no lorem,
+                             no brace, alpha/length bands), null-safe
+                             false for empty/null docs.
+
+    Cross-engine parity: every fraction is a single division of exact
+    integer aggregates (bit-equal doubles in any engine, no rounding).
+    Scale shape: two explodes with per-doc map-side-combined groupBys
+    LEFT-joined onto a row-level scalar projection — per-doc keys only,
+    all JVM expressions, no UDF."""
+    from pyspark.sql import functions as F
+
+    text = F.col(text_col)
+    scalars = df.select(
+        id_col,
+        F.regexp_count(text, F.lit(r"[.!?]")).alias("n_sentences"),
+        F.lower(text).contains("lorem ipsum").alias("has_lorem_ipsum"),
+        text.contains("{").alias("has_curly_brace"),
+    )
+
+    lines = df.select(
+        id_col, F.explode(F.split(text, "\n")).alias("__line")
+    ).filter(F.trim("__line") != "")
+    line_stats = lines.groupBy(id_col).agg(
+        F.count("*").alias("n_lines"),
+        (
+            F.sum(
+                F.when(
+                    F.substring(F.rtrim(F.col("__line")), -1, 1).isin(
+                        ".", "!", "?", '"'
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            / F.count("*")
+        ).alias("frac_lines_end_punct"),
+    )
+
+    words = df.select(
+        id_col,
+        F.posexplode_outer(F.split(F.trim(text), r"\s+")).alias("__pos", "__w"),
+    ).filter(F.col("__w").isNotNull() & (F.col("__w") != ""))
+    word_stats = words.groupBy(id_col).agg(
+        F.count("*").alias("n_words"),
+        (
+            F.sum(F.when(F.col("__w").rlike("[A-Za-z]"), 1).otherwise(0))
+            / F.count("*")
+        ).alias("frac_alpha_words"),
+        (F.sum(F.length("__w")) / F.count("*")).alias("mean_word_len"),
+    )
+
+    out = scalars.join(line_stats, id_col, "left").join(word_stats, id_col, "left")
+    keep = (
+        (F.col("n_sentences") >= 3)
+        & ~F.col("has_lorem_ipsum")
+        & ~F.col("has_curly_brace")
+        & (F.col("frac_alpha_words") >= 0.8)
+        & F.col("mean_word_len").between(3.0, 10.0)
+    )
+    return out.withColumn("c4_keep", F.coalesce(keep, F.lit(False)))

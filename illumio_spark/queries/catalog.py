@@ -351,13 +351,15 @@ def a5_counts_by_type(spark, sf_dir):
     )
 
 
-@q(
-    "a7_count_distinct",
-    """
+# A7 was driver-green r1-r5 with unchanged code; rotated out mid-r5 for
+# td_c4_filters (new C4/Gopher quality-filter operator). Still
+# oracle-checked every pytest run via tests/test_retired_queries.py.
+A7_SQL = """
     SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
     FROM events GROUP BY event_type
-    """,
-)
+    """
+
+
 def a7_count_distinct(spark, sf_dir):
     # reference: COUNT(DISTINCT id) GROUP BY (db_stats.py:36-37);
     # at 100 TB scale swap for approx_count_distinct

@@ -1229,3 +1229,53 @@ def td_audio_features(spark, sf_dir):
         "sample_rate", "n_samples", "rms", "zcr",
         F.round("spectral_centroid_hz", 2).alias("spectral_centroid_hz"),
     )
+
+
+_C4_FILTERS_SQL = """
+    WITH scalars AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[.!?]')) AS INTEGER) AS n_sentences,
+               contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+               contains(text, '{') AS has_curly_brace
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+    ),
+    ls AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+               SUM(CASE WHEN right(rtrim(line), 1) IN ('.', '!', '?', '"')
+                        THEN 1 ELSE 0 END) / COUNT(*) AS frac_lines_end_punct
+        FROM lines WHERE TRIM(line) <> '' GROUP BY doc_id
+    ),
+    toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(TRIM(text), '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    ws AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+               SUM(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1 ELSE 0 END)
+                   / COUNT(*) AS frac_alpha_words,
+               SUM(LENGTH(w)) / COUNT(*) AS mean_word_len
+        FROM toks GROUP BY doc_id
+    )
+    SELECT s.doc_id, n_sentences, has_lorem_ipsum, has_curly_brace,
+           n_lines, frac_lines_end_punct, n_words, frac_alpha_words,
+           mean_word_len,
+           COALESCE(n_sentences >= 3 AND NOT has_lorem_ipsum
+                    AND NOT has_curly_brace AND frac_alpha_words >= 0.8
+                    AND mean_word_len BETWEEN 3.0 AND 10.0, FALSE) AS c4_keep
+    FROM scalars s LEFT JOIN ls USING (doc_id) LEFT JOIN ws USING (doc_id)
+"""
+
+
+@q("td_c4_filters", _C4_FILTERS_SQL)
+def td_c4_filters(spark, sf_dir):
+    """C4/Gopher page-quality filters (new r5), cross-engine-checked:
+    every fraction is a single division of exact integer aggregates, so
+    the doubles are bit-identical between engines and the composed
+    c4_keep boolean needs no tolerance at all."""
+    d = load(spark, sf_dir, "documents")
+    return TX.c4_quality_signals(d)

@@ -170,3 +170,36 @@ def test_decoders_never_escape_on_forged_headers(junk, data):
             fn(payload)
         except (ValueError, NotImplementedError):
             pass
+
+
+@settings(max_examples=20, deadline=None)
+@given(dims=_dims, data=st.data())
+def test_gif_interlaced_roundtrip(dims, data):
+    # round-5 closure of the interlaced-GIF scope gap: 4-pass Appendix-E
+    # row order must decode back to the original raster exactly
+    w, h = dims
+    vals = data.draw(
+        st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h)
+    )
+    assert MM.decode_gif_gray(MM.encode_gif_gray8(w, h, vals, interlaced=True)) == vals
+    # and an interlaced payload decodes identically to its plain twin
+    assert MM.decode_gif_gray(MM.encode_gif_gray8(w, h, vals)) == vals
+
+
+def test_jpeg_16bit_quant_table_decodes():
+    # round-5 closure of the 16-bit-DQT scope gap: rewrite a valid q=1
+    # 8-bit table as pq=1 (two-byte entries, same values) — the decode
+    # must be byte-identical to the 8-bit-table file
+    import struct
+
+    vals = [(p * 29) % 256 for p in range(16 * 8)]
+    b = MM.encode_jpeg_gray8(16, 8, vals)
+    # locate the DQT segment (FF DB, length 67, pq/tq byte, 64 entries)
+    i = b.index(b"\xff\xdb")
+    (ln,) = struct.unpack(">H", b[i + 2 : i + 4])
+    assert ln == 67
+    entries = b[i + 5 : i + 5 + 64]
+    wide = bytes([0x10]) + b"".join(struct.pack(">H", e) for e in entries)
+    new_seg = b"\xff\xdb" + struct.pack(">H", len(wide) + 2) + wide
+    b16 = b[:i] + new_seg + b[i + 4 + ln - 2 :]
+    assert MM.decode_jpeg_gray8(b16) == MM.decode_jpeg_gray8(b)

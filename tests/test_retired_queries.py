@@ -92,3 +92,9 @@ def test_sql_q5_local_supplier_matches_oracle(spark):
     from illumio_spark.queries.catalog_ext import _Q5_SQL, sql_q5_local_supplier
 
     _compare(sql_q5_local_supplier(spark, SF), _Q5_SQL)
+
+
+def test_a7_count_distinct_matches_oracle(spark):
+    from illumio_spark.queries.catalog import A7_SQL, a7_count_distinct
+
+    _compare(a7_count_distinct(spark, SF), A7_SQL)

@@ -379,3 +379,25 @@ def test_repetition_signals(spark):
     assert out[1].dup_line_frac == 0.75  # 4 lines, 1 distinct → 3/4 repeats
     assert out[2].top_bigram_frac > 0.4  # 'now buy'/'buy now' dominate
     assert out[0].top_bigram_frac < 0.3
+
+
+def test_c4_quality_signals(spark):
+    rows = [
+        (0, "This is a clean page. It has sentences. All lines end well.\n"
+            "Another proper line ends here."),
+        (1, "function f() { return 1; }"),                 # code brace
+        (2, "Lorem Ipsum dolor sit amet. Filler. Text."),  # placeholder
+        (3, "no sentences no punctuation at all"),          # <3 sentences
+        (4, None),                                          # null text
+        (5, "!!! ??? ... --- === +++ ### $$$ %%% ^^^"),     # no alpha words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in TX.c4_quality_signals(df).collect()}
+    assert out[0].c4_keep is True
+    assert out[0].frac_lines_end_punct == 1.0
+    assert out[0].n_sentences >= 3
+    assert out[1].has_curly_brace and out[1].c4_keep is False
+    assert out[2].has_lorem_ipsum and out[2].c4_keep is False
+    assert out[3].n_sentences == 0 and out[3].c4_keep is False
+    assert out[4].c4_keep is False and out[4].n_sentences is None
+    assert out[5].frac_alpha_words == 0.0 and out[5].c4_keep is False
