@@ -30,6 +30,8 @@ PRIORITY = [
     "td_pii_scrub",  # precedence-aware PII counts + md5 of redacted text (r5)
     "td_repetition_signals",  # Gopher dup-line / top-bigram fractions (r5)
     "td_c4_filters",  # C4/Gopher page-quality filters + keep flag (new r5)
+    "td_session_gaps",  # F.session_window vs gap-and-islands oracle (new r5)
+    "td_token_percentiles",  # exact percentile vs quantile_cont (new r5)
     "td_resize_stats",  # decode→nearest-resize→encode→decode, int-exact (r5)
     "td_audio_features",  # WAV RMS/ZCR exact + DFT-oracled centroid (r5)
     "td_decode_stats",  # real PNG/WAV/GIF-LZW/JPEG codec corpus (r4)

@@ -52,6 +52,7 @@ HEADLINE = [
     "td_pii_scrub",
     "td_repetition_signals",
     "td_c4_filters",
+    "td_session_gaps",
 ]
 
 

@@ -144,14 +144,17 @@ def p1_json_extract(spark, sf_dir):
     )
 
 
-@q(
-    "p6_conditional_class",
-    """
+# P6 was driver-green r1-r5 with unchanged code (the event-class CASE is
+# also exercised by every pipeline row); rotated out mid-r5 for
+# td_token_percentiles. Oracle-checked every pytest run via
+# tests/test_retired_queries.py.
+P6_SQL = """
     SELECT CASE WHEN event_type IN ('error', 'signup') THEN 'auditable' ELSE 'summary' END AS event_class,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM events GROUP BY 1
-    """,
-)
+    """
+
+
 def p6_conditional_class(spark, sf_dir):
     # reference: proto==6 → TCP/UDP conditional (log_processor.py:448-450)
     ev = load(spark, sf_dir, "events")
@@ -168,17 +171,20 @@ def p6_conditional_class(spark, sf_dir):
 # create_map variant was folded into it to fit the driver's 50-query gate)
 
 
-@q(
-    "f1_pipe_format",
-    """
+# F1 was driver-green r1-r5 with unchanged code (k=v|escape|truncate is
+# also byte-equality-gated by the pipeline golden checksums and the fuzz
+# round-trip); rotated out mid-r5 for td_session_gaps. Oracle-checked
+# every pytest run via tests/test_retired_queries.py.
+F1_SQL = """
     SELECT doc_id,
            'doc_id=' || CAST(doc_id AS VARCHAR) || '|lang=' || lang || '|msg=' ||
            CASE WHEN LENGTH(REPLACE(text, '|', '_')) > 60
                 THEN SUBSTR(REPLACE(text, '|', '_'), 1, 57) || '...'
                 ELSE REPLACE(text, '|', '_') END AS formatted
     FROM documents
-    """,
-)
+    """
+
+
 def f1_pipe_format(spark, sf_dir):
     # reference: k=v|k=v format + escape + truncate (log_processor.py:480-497)
     d = load(spark, sf_dir, "documents")

@@ -1279,3 +1279,90 @@ def td_c4_filters(spark, sf_dir):
     c4_keep boolean needs no tolerance at all."""
     d = load(spark, sf_dir, "documents")
     return TX.c4_quality_signals(d)
+
+
+_TOKEN_PCT_SQL = """
+    WITH tc AS (
+        SELECT lang,
+               CAST(len(string_split_regex(TRIM(text), '\\s+')) AS INTEGER) AS n
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(quantile_cont(n, 0.5), 4) AS p50,
+           ROUND(quantile_cont(n, 0.9), 4) AS p90,
+           ROUND(quantile_cont(n, 0.99), 4) AS p99,
+           CAST(MAX(n) AS INTEGER) AS max_tokens
+    FROM tc GROUP BY lang
+"""
+
+
+@q("td_token_percentiles", _TOKEN_PCT_SQL)
+def td_token_percentiles(spark, sf_dir):
+    """Per-language token-length distribution (new r5) — the
+    length-filter calibration stats a training-data pipeline computes
+    before setting min/max-token thresholds. Spark's EXACT percentile
+    aggregate vs DuckDB quantile_cont: both define p as linear
+    interpolation at rank p*(n-1) over the sorted values, so on integer
+    token counts the doubles agree to the last bit (ROUND(4) belt-and-
+    braces only). At 100 TB swap percentile for approx_percentile
+    (t-digest) — same plan shape, bounded memory per group."""
+    d = load(spark, sf_dir, "documents")
+    tc = d.select("lang", TX.token_count(F.col("text")).alias("n"))
+    return tc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.expr("percentile(n, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(n, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(n, 0.99)"), 4).alias("p99"),
+        F.max("n").alias("max_tokens"),
+    )
+
+
+_SESSION_GAPS_SQL = """
+    WITH o AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 6 HOUR
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+    ),
+    g AS (
+        SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS grp
+        FROM o
+    )
+    SELECT CAST(user_id AS VARCHAR) AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_last
+    FROM g GROUP BY user_id, grp
+"""
+
+
+@q("td_session_gaps", _SESSION_GAPS_SQL)
+def td_session_gaps(spark, sf_dir):
+    """Batch gap-sessionization via F.session_window (new r5) — the same
+    Tungsten session operator the streaming fast path uses
+    (sessionize_stream_native), cross-engine-checked against the classic
+    gap-and-islands SQL (lag → break flag → running sum → group).
+    Semantics pinned by the oracle: sessions are half-open, so an event
+    exactly gap after its predecessor starts a NEW session (>= in the
+    break condition). Scale shape: one shuffle on the session key,
+    per-user state; the reference has no session concept — this is the
+    conversation-analytics surface a transcript pipeline adds."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window(F.col("ts"), "6 hours"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("__first"),
+            F.max("ts").alias("__last"),
+        )
+        .select(
+            F.col("user_id").cast("string").alias("user_id"),
+            "n_events",
+            F.date_format("__first", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("__last", "yyyy-MM-dd HH:mm:ss").alias("session_last"),
+        )
+    )

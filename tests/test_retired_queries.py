@@ -98,3 +98,15 @@ def test_a7_count_distinct_matches_oracle(spark):
     from illumio_spark.queries.catalog import A7_SQL, a7_count_distinct
 
     _compare(a7_count_distinct(spark, SF), A7_SQL)
+
+
+def test_p6_conditional_class_matches_oracle(spark):
+    from illumio_spark.queries.catalog import P6_SQL, p6_conditional_class
+
+    _compare(p6_conditional_class(spark, SF), P6_SQL)
+
+
+def test_f1_pipe_format_matches_oracle(spark):
+    from illumio_spark.queries.catalog import F1_SQL, f1_pipe_format
+
+    _compare(f1_pipe_format(spark, SF), F1_SQL)
