@@ -183,3 +183,43 @@ def test_bigram_lm_plan_builds_without_eager_job(spark):
     assert list(jobs) == [], f"plan build launched Spark jobs: {jobs}"
     # and the plan still executes correctly downstream
     assert df.limit(5).count() >= 0
+
+
+def test_new_r5_rows_have_scale_safe_plans(spark):
+    # the r5 driver rows must not smuggle in a cartesian/BNLJ (the only
+    # allowed nested-loop is bigram-LM's intentional 1-row vocab
+    # broadcast) and must prune the documents scan to the used columns
+    from illumio_spark.queries.catalog_td import (
+        td_c4_filters,
+        td_repetition_signals,
+        td_session_gaps,
+        td_token_percentiles,
+    )
+
+    for fn, allow_bnlj in [
+        (td_c4_filters, False),
+        (td_repetition_signals, False),
+        (td_session_gaps, False),
+        (td_token_percentiles, False),
+    ]:
+        plan = _plan(fn(spark, SF))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan or allow_bnlj, fn.__name__
+
+    # column pruning: token percentiles reads only (lang, text)
+    plan = _plan(td_token_percentiles(spark, SF))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read_schema and "lang" in read_schema
+    assert "title" not in read_schema and "doc_id" not in read_schema
+
+
+def test_bigram_lm_vocab_is_single_row_broadcast(spark):
+    # the in-plan vocabulary count must enter as a broadcast of ONE row
+    # (BroadcastNestedLoopJoin over a 1-row aggregate is a constant join,
+    # not a scale hazard)
+    from illumio_spark.functions.text import bigram_lm_scores
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(bigram_lm_scores(docs, quantize=1e6))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
