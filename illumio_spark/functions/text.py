@@ -421,7 +421,9 @@ def repetition_signals(
 
 
 def c4_quality_signals(
-    df: "DataFrame", id_col: str = "doc_id", text_col: str = "text"
+    df: "DataFrame", id_col: str = "doc_id", text_col: str = "text",
+    min_sentences: int = 3, min_alpha_frac: float = 0.8,
+    word_len_band: tuple[float, float] = (3.0, 10.0),
 ) -> "DataFrame":
     """C4/Gopher page-quality signals + the composed keep flag — the
     line/page filters of Raffel et al. (C4) and Rae et al. (Gopher):
@@ -486,10 +488,65 @@ def c4_quality_signals(
 
     out = scalars.join(line_stats, id_col, "left").join(word_stats, id_col, "left")
     keep = (
-        (F.col("n_sentences") >= 3)
+        (F.col("n_sentences") >= min_sentences)
         & ~F.col("has_lorem_ipsum")
         & ~F.col("has_curly_brace")
-        & (F.col("frac_alpha_words") >= 0.8)
-        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("frac_alpha_words") >= min_alpha_frac)
+        & F.col("mean_word_len").between(*word_len_band)
     )
     return out.withColumn("c4_keep", F.coalesce(keep, F.lit(False)))
+
+
+# URL / domain analysis --------------------------------------------------
+# Host-charset regex chosen to parse identically under Java regex and RE2
+# (no lookarounds); the host is everything after the scheme up to the
+# first non-host character.
+URL_HOST_PATTERN = r"https?://[A-Za-z0-9.-]+"
+
+
+def doc_url_stats(
+    df: "DataFrame", id_col: str = "doc_id", text_col: str = "text"
+) -> "DataFrame":
+    """Per-document URL signals: total URL mentions and distinct domains —
+    the inputs to link-spam filtering and URL-based dedup keys. One
+    regexp_extract_all + explode, one per-doc groupBy (map-side combined)."""
+    from pyspark.sql import functions as F
+
+    urls = df.select(
+        id_col,
+        F.explode_outer(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_HOST_PATTERN), 0)
+        ).alias("__u"),
+    )
+    dom = F.lower(F.regexp_replace(F.col("__u"), r"^https?://", ""))
+    return urls.select(id_col, dom.alias("__d")).groupBy(id_col).agg(
+        F.count("__d").alias("n_urls"),
+        F.count_distinct(F.col("__d")).alias("n_domains"),
+    )
+
+
+def domain_counts(
+    df: "DataFrame", id_col: str = "doc_id", text_col: str = "text"
+) -> "DataFrame":
+    """Corpus-level domain frequency (domain, n_docs, n_urls) — the table
+    a curation pipeline ranks to build domain allow/block lists. Shuffle
+    key is the domain string; real crawls are Zipf-skewed on it, which
+    AQE skew-join/partition-coalescing absorbs (same shape as the
+    bigram-LM hot-token joins)."""
+    from pyspark.sql import functions as F
+
+    urls = df.select(
+        id_col,
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_HOST_PATTERN), 0)
+        ).alias("__u"),
+    )
+    dom = F.lower(F.regexp_replace(F.col("__u"), r"^https?://", ""))
+    return (
+        urls.select(id_col, dom.alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.count("*").alias("n_urls"),
+        )
+    )

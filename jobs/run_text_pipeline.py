@@ -1,0 +1,154 @@
+"""spark-submit entry point for the TRAINING-DATA hygiene pipeline —
+the document-side counterpart of jobs/run_pipeline.py: it chains the
+repo's dedup / decontamination / quality / PII operators into the
+standard pre-training curation pass and writes the cleaned corpus plus
+a per-stage attrition report.
+
+Cluster launch (same --py-files packaging as the transcript pipeline):
+
+    cd /root/repo && zip -r /tmp/illumio_spark.zip illumio_spark
+    spark-submit --py-files /tmp/illumio_spark.zip \\
+        jobs/run_text_pipeline.py \\
+        --input  s3a://bucket/documents/          # parquet (doc_id, text, ...) \\
+        --output s3a://bucket/cleaned/ \\
+        --eval   s3a://bucket/eval_sets/          # optional: decontaminate vs these \\
+        --near-dups                                # also drop minhash-LSH near-dups
+
+Local smoke:
+
+    python jobs/run_text_pipeline.py \\
+        --input /root/testdata/sf0.001/documents.parquet --output /tmp/cleaned
+
+Stages (each optional-out via flags, all DataFrame plans — one action per
+stage for the attrition report, then one write):
+  1. exact dedup       — md5 fingerprint, min-id keeper per group
+  2. near-dup drop     — minhash-LSH candidate pairs (xxhash64 engine
+                         mode), drop the higher id of each pair
+  3. decontamination   — GPT-3-style 13-gram overlap vs --eval corpus
+  4. quality filter    — C4/Gopher c4_keep conjunction
+  5. PII scrub         — emails/SSNs/IPv4s/phones redacted in place
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run(spark, args) -> dict:
+    from pyspark.sql import functions as F
+
+    from illumio_spark.functions import text as TX
+    from illumio_spark.operators import dedup as D
+
+    report: dict = {"stages": []}
+
+    def stage(name: str, df_in, df_out):
+        n_in, n_out = df_in.count(), df_out.count()
+        report["stages"].append(
+            {"stage": name, "rows_in": n_in, "rows_out": n_out,
+             "dropped": n_in - n_out}
+        )
+        return df_out
+
+    docs = spark.read.parquet(args.input)
+    if "doc_id" not in docs.columns or "text" not in docs.columns:
+        raise SystemExit("input must have (doc_id, text) columns")
+
+    # 1. exact dedup: keep the min-id representative of each text group
+    keepers = D.exact_dedup_keepers(docs).select(
+        F.col("keeper").alias("doc_id")
+    )
+    cur = stage("exact_dedup", docs, docs.join(keepers, "doc_id", "left_semi"))
+
+    # 2. near-dup drop (optional): candidate pairs → drop the higher id
+    if args.near_dups:
+        pairs = D.minhash_lsh_pairs(cur, hash_fn="xxhash64")
+        losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        cur = stage("near_dup_drop", cur, cur.join(losers, "doc_id", "left_anti"))
+
+    # 3. decontamination vs the eval corpus (optional)
+    if args.eval:
+        eval_df = spark.read.parquet(args.eval).select("doc_id", "text")
+        cur = stage(
+            "decontaminate", cur, D.decontaminate(cur, eval_df, k=args.ngram)
+        )
+
+    # 4. C4/Gopher quality filter (thresholds are corpus-style knobs:
+    #    a punctuation-free corpus needs --min-sentences 0)
+    if args.quality != "off":
+        keep_ids = (
+            TX.c4_quality_signals(
+                cur, min_sentences=args.min_sentences,
+                min_alpha_frac=args.min_alpha_frac,
+            )
+            .filter(F.col("c4_keep"))
+            .select("doc_id")
+        )
+        cur = stage("c4_quality", cur, cur.join(keep_ids, "doc_id", "left_semi"))
+
+    # 5. PII scrub in place (row count unchanged; report counts scrubbed)
+    pii = TX.pii_counts(F.col("text"))
+    hits = cur.agg(
+        *[F.sum(c).alias(name) for name, c in pii.items()]
+    ).first()
+    report["pii_hits"] = {k: int(hits[k] or 0) for k in hits.asDict()}
+    cleaned = cur.withColumn("text", TX.scrub_pii(F.col("text")))
+
+    t0 = time.time()
+    cleaned.write.mode("overwrite").parquet(args.output)
+    report["write_s"] = round(time.time() - t0, 3)
+
+    out = spark.read.parquet(args.output)
+    report["final_rows"] = out.count()
+    tc = out.select(TX.token_count(F.col("text")).alias("n"))
+    r = tc.agg(
+        F.sum("n").alias("total_tokens"),
+        F.expr("percentile(n, 0.5)").alias("p50"),
+        F.expr("percentile(n, 0.99)").alias("p99"),
+    ).first()
+    report["tokens"] = {
+        "total": int(r.total_tokens or 0),
+        "p50": float(r.p50 or 0), "p99": float(r.p99 or 0),
+    }
+    return report
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="documents parquet path")
+    ap.add_argument("--output", required=True, help="cleaned-corpus output dir")
+    ap.add_argument("--eval", help="eval-set parquet for decontamination")
+    ap.add_argument("--ngram", type=int, default=13,
+                    help="decontamination shingle size (GPT-3 rule: 13)")
+    ap.add_argument("--near-dups", action="store_true",
+                    help="also drop minhash-LSH near-duplicates")
+    ap.add_argument("--quality", default="c4", choices=["c4", "off"],
+                    help="page-quality filter stage (default C4/Gopher)")
+    ap.add_argument("--min-sentences", type=int, default=3,
+                    help="C4 sentence threshold (0 for punctuation-free corpora)")
+    ap.add_argument("--min-alpha-frac", type=float, default=0.8,
+                    help="Gopher alphabetic-word fraction threshold")
+    ap.add_argument("--report", help="write the attrition report JSON here")
+    args = ap.parse_args()
+
+    from illumio_spark.session import build_session
+
+    spark = build_session(app_name="text_pipeline")
+    spark.sparkContext.setLogLevel("WARN")
+    report = run(spark, args)
+    out = json.dumps(report, indent=1)
+    print(out)
+    if args.report:
+        with open(args.report, "w") as f:
+            f.write(out)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Cross-engine oracles for operators that never held a driver-registry
+slot (the registry is capped at 50): same row-count + sorted-values
+compare the driver and tests/test_retired_queries.py run."""
+
+import duckdb
+
+SF = "/root/testdata/sf0.001"
+
+DOC_URL_SQL = """
+    WITH u AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+')) AS u
+        FROM read_parquet('{sf}/documents.parquet')
+    ),
+    d AS (SELECT doc_id, lower(regexp_replace(u, '^https?://', '')) AS dom FROM u),
+    s AS (SELECT doc_id, CAST(COUNT(dom) AS BIGINT) AS n_urls,
+                 CAST(COUNT(DISTINCT dom) AS BIGINT) AS n_domains
+          FROM d GROUP BY doc_id)
+    SELECT docs.doc_id, COALESCE(n_urls, 0) AS n_urls,
+           COALESCE(n_domains, 0) AS n_domains
+    FROM read_parquet('{sf}/documents.parquet') docs LEFT JOIN s USING (doc_id)
+"""
+
+DOMAIN_COUNTS_SQL = """
+    WITH u AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+')) AS u
+        FROM read_parquet('{sf}/documents.parquet')
+    ),
+    d AS (SELECT doc_id, lower(regexp_replace(u, '^https?://', '')) AS domain FROM u)
+    SELECT domain,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_urls
+    FROM d GROUP BY domain
+"""
+
+
+def _compare(spark_df, sql: str):
+    got = spark_df.toPandas()
+    want = duckdb.sql(sql.format(sf=SF)).df()
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    assert len(got) == len(want)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        assert g[c].where(g[c].notna(), None).tolist() == \
+            w[c].where(w[c].notna(), None).tolist(), f"column {c} differs"
+
+
+def test_doc_url_stats_matches_oracle(spark):
+    from illumio_spark.functions.text import doc_url_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    _compare(doc_url_stats(docs), DOC_URL_SQL)
+
+
+def test_domain_counts_matches_oracle(spark):
+    from illumio_spark.functions.text import domain_counts
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    _compare(domain_counts(docs), DOMAIN_COUNTS_SQL)
+
+
+def test_url_ops_on_synthetic_urls(spark):
+    rows = [
+        (0, "see https://Example.com/page and http://example.com/x plus https://other.org"),
+        (1, "no links here"),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from illumio_spark.functions.text import doc_url_stats, domain_counts
+
+    stats = {r.doc_id: r for r in doc_url_stats(df).collect()}
+    # host charset stops at '/', case folds: example.com counted twice
+    assert (stats[0].n_urls, stats[0].n_domains) == (3, 2)
+    assert (stats[1].n_urls, stats[1].n_domains) == (0, 0)
+    assert (stats[2].n_urls, stats[2].n_domains) == (0, 0)
+    doms = {r.domain: (r.n_docs, r.n_urls) for r in domain_counts(df).collect()}
+    assert doms["example.com"] == (1, 2) and doms["other.org"] == (1, 1)
+
+
+def test_text_pipeline_job_end_to_end(spark, tmp_path):
+    """The curation CLI chains dedup -> near-dup -> quality -> PII into
+    one run: attrition must be monotone, the output parquet must exist,
+    and scrubbed text must contain no raw PII patterns."""
+    import argparse
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.run_text_pipeline import run
+
+    args = argparse.Namespace(
+        input=f"{SF}/documents.parquet", output=str(tmp_path / "cleaned"),
+        eval=None, ngram=13, near_dups=True, quality="c4",
+        min_sentences=0, min_alpha_frac=0.8,
+    )
+    report = run(spark, args)
+    stages = {s["stage"]: s for s in report["stages"]}
+    assert stages["near_dup_drop"]["dropped"] > 0  # corpus has near-dups
+    rows = [s["rows_out"] for s in report["stages"]]
+    assert all(a >= b for a, b in zip(rows, rows[1:]))  # monotone attrition
+    assert report["final_rows"] == rows[-1] > 0
+    assert report["tokens"]["total"] > 0
+    out = spark.read.parquet(str(tmp_path / "cleaned"))
+    assert out.count() == report["final_rows"]
+    from illumio_spark.functions.text import PII_PATTERNS
+    from pyspark.sql import functions as F
+
+    for _kind, pat in PII_PATTERNS:
+        assert out.filter(F.col("text").rlike(pat)).count() == 0
