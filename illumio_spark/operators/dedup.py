@@ -317,3 +317,73 @@ def exact_dedup_keepers(df: DataFrame, id_col: str = "doc_id", text_col: str = "
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+def neardup_components(
+    nodes: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs → (id,
+    component) with component = MIN id reachable — the transitivity-
+    correct form of near-dup dropping (keep one representative per
+    component; dropping `id_b` of every pair over-keeps on chains like
+    a-b, b-c only by accident of id ordering).
+
+    Min-label propagation, the standard Spark CC recipe (what GraphX/
+    GraphFrames run underneath): each iteration joins labels to the
+    symmetric edge list and takes the per-node MIN of own and neighbor
+    labels, until a fixpoint. Iterations = graph diameter in the worst
+    case; near-dup graphs are unions of small cliques/chains, so 2-3
+    rounds in practice. Each round is one equi-join + one groupBy —
+    shuffle keys are ids, never edge cross-products. The driver-side
+    convergence check is one count() per round (an iterative algorithm's
+    irreducible action), not a per-row collect."""
+    edges = (
+        pairs.select(F.col("id_a").alias("__src"), F.col("id_b").alias("__dst"))
+        .unionByName(
+            pairs.select(
+                F.col("id_b").alias("__src"), F.col("id_a").alias("__dst")
+            )
+        )
+        .distinct()
+    )
+    labels = nodes.select(F.col(id_col), F.col(id_col).alias("component"))
+    for _ in range(max_iters):
+        neighbor_min = (
+            labels.join(edges, labels[id_col] == edges["__src"])
+            .groupBy("__dst")
+            .agg(F.min("component").alias("__nbmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels[id_col] == neighbor_min["__dst"], "left")
+            .select(
+                id_col,
+                F.least(
+                    F.col("component"), F.coalesce(F.col("__nbmin"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), id_col)
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def neardup_keepers(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Corpus → rows surviving transitivity-correct near-dup removal:
+    LSH candidate pairs → connected components → keep the min-id
+    representative of each component."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, hash_fn=hash_fn)
+    comp = neardup_components(df.select(id_col), pairs, id_col)
+    losers = comp.filter(F.col(id_col) != F.col("component")).select(id_col)
+    return df.join(losers, id_col, "left_anti")

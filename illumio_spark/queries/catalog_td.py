@@ -70,9 +70,13 @@ def td_exact_dedup(spark, sf_dir):
     return D.exact_dedup_keepers(corpus).filter(F.col("n_copies") > 1)
 
 
-@q(
-    "td_minhash_signature",
-    """
+# td_minhash_signature was driver-green r1-r5 with unchanged code, and its
+# signature lineage is subsumed by td_minhash_lsh_pairs (same minhash
+# builder, full pair-level oracle); rotated out mid-r5 for
+# td_neardup_components. Oracle-checked every pytest run via
+# tests/test_retired_queries.py; the xxhash64 engine variant stays a
+# bench probe (bench_overrides).
+MINHASH_SIG_SQL = """
     WITH sh AS (
         SELECT doc_id, UNNEST(list_distinct(list_transform(
             range(1, GREATEST(len(string_split_regex(TRIM(text), '\\s+')) - 1, 1)),
@@ -85,8 +89,9 @@ def td_exact_dedup(spark, sf_dir):
     SELECT doc_id, MIN(md5('s0-' || s)) AS mh0, MIN(md5('s1-' || s)) AS mh1,
            MIN(md5('s2-' || s)) AS mh2, MIN(md5('s3-' || s)) AS mh3
     FROM sh GROUP BY doc_id
-    """,
-)
+    """
+
+
 def td_minhash_signature(spark, sf_dir):
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return D.minhash_signatures_df(d, n_hashes=4)
@@ -1366,3 +1371,36 @@ def td_session_gaps(spark, sf_dir):
             F.date_format("__last", "yyyy-MM-dd HH:mm:ss").alias("session_last"),
         )
     )
+
+
+_COMPONENTS_SQL = f"""
+    WITH RECURSIVE
+    corpus AS ({_NEARDUP_SQL_CORPUS}),
+    pairs AS (SELECT * FROM ({LSH_PAIRS_SQL})),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS m FROM reach GROUP BY src)
+    SELECT c.doc_id, LEAST(c.doc_id, COALESCE(m, c.doc_id)) AS component
+    FROM (SELECT doc_id FROM corpus) c LEFT JOIN comp USING (doc_id)
+"""
+
+
+@q("td_neardup_components", _COMPONENTS_SQL)
+def td_neardup_components(spark, sf_dir):
+    """Transitivity-correct near-dup grouping (new r5): minhash-LSH
+    candidate pairs → connected components by min-label propagation
+    (the GraphX recipe as plain DataFrame joins), checked against a
+    DuckDB RECURSIVE-CTE transitive closure. component = MIN reachable
+    id, so labels are deterministic and hash-comparable; singleton docs
+    carry their own id."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(corpus)  # md5 oracle-parity mode
+    return D.neardup_components(corpus.select("doc_id"), pairs)

@@ -66,11 +66,13 @@ def run(spark, args) -> dict:
     )
     cur = stage("exact_dedup", docs, docs.join(keepers, "doc_id", "left_semi"))
 
-    # 2. near-dup drop (optional): candidate pairs → drop the higher id
+    # 2. near-dup drop (optional): LSH pairs → connected components →
+    #    keep the min-id representative per component (transitivity-
+    #    correct: a-b, b-c is ONE group even though (a,c) never paired)
     if args.near_dups:
-        pairs = D.minhash_lsh_pairs(cur, hash_fn="xxhash64")
-        losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-        cur = stage("near_dup_drop", cur, cur.join(losers, "doc_id", "left_anti"))
+        cur = stage(
+            "near_dup_drop", cur, D.neardup_keepers(cur, hash_fn="xxhash64")
+        )
 
     # 3. decontamination vs the eval corpus (optional)
     if args.eval:

@@ -326,3 +326,18 @@ def test_ivf_centroids_deterministic(spark):
     c2 = SIM.ivf_train_centroids(emb, n_centroids=4, sample_n=100)
     assert np.allclose(c1, c2)
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_neardup_components_chain_transitivity(spark):
+    # a-b and b-c paired but never (a,c): all three must share one
+    # component, and the representative must be the global min id
+    from illumio_spark.operators.dedup import neardup_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (1, 2)], "id_a long, id_b long"
+    )
+    comp = {r.doc_id: r.component for r in neardup_components(nodes, pairs).collect()}
+    assert comp[0] == comp[3] == comp[5] == 0  # chain collapses to min id
+    assert comp[1] == comp[2] == 1
+    assert comp[4] == 4  # singleton keeps its own id

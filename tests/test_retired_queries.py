@@ -110,3 +110,9 @@ def test_f1_pipe_format_matches_oracle(spark):
     from illumio_spark.queries.catalog import F1_SQL, f1_pipe_format
 
     _compare(f1_pipe_format(spark, SF), F1_SQL)
+
+
+def test_td_minhash_signature_matches_oracle(spark):
+    from illumio_spark.queries.catalog_td import MINHASH_SIG_SQL, td_minhash_signature
+
+    _compare(td_minhash_signature(spark, SF), MINHASH_SIG_SQL)
