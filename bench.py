@@ -53,6 +53,7 @@ HEADLINE = [
     "td_repetition_signals",
     "td_c4_filters",
     "td_session_gaps",
+    "td_neardup_components",
 ]
 
 
@@ -83,6 +84,10 @@ def bench_overrides() -> dict:
         ),
         "td_simhash_neardup": lambda spark, sf_dir: D.simhash_neardup_pairs(
             _neardup_corpus(spark, sf_dir), max_hamming=3, hash_fn="xxhash64"
+        ),
+        "td_neardup_components": lambda spark, sf_dir: D.neardup_components(
+            _neardup_corpus(spark, sf_dir).select("doc_id"),
+            D.minhash_lsh_pairs(_neardup_corpus(spark, sf_dir), hash_fn="xxhash64"),
         ),
         "td_minhash_signature": lambda spark, sf_dir: D.minhash_signatures_df(
             spark.read.parquet(f"{sf_dir}/documents.parquet").filter("doc_id < 100"),
