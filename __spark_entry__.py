@@ -32,6 +32,7 @@ PRIORITY = [
     "td_c4_filters",  # C4/Gopher page-quality filters + keep flag (new r5)
     "td_session_gaps",  # F.session_window vs gap-and-islands oracle (new r5)
     "td_neardup_components",  # CC labels vs recursive-CTE closure (new r5)
+    "td_frame_sample",  # animated-GIF keyframe sampling, per-frame oracle (r5)
     "td_token_percentiles",  # exact percentile vs quantile_cont (new r5)
     "td_resize_stats",  # decode→nearest-resize→encode→decode, int-exact (r5)
     "td_audio_features",  # WAV RMS/ZCR exact + DFT-oracled centroid (r5)

@@ -339,13 +339,15 @@ def j3_dead_letter_reasons(spark, sf_dir):
 # committed runs — the former events-table lag() variant was folded into it)
 
 
-@q(
-    "a5_counts_by_type",
-    """
+# A5(+A6 max) was driver-green r1-r5 with unchanged code; rotated out
+# mid-r5 for td_frame_sample (the last pytest-only codec op gets driver
+# evidence). Oracle-checked every pytest run via tests/test_retired_queries.py.
+A5_SQL = """
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, MAX(event_id) AS max_id
     FROM events GROUP BY event_type
-    """,
-)
+    """
+
+
 def a5_counts_by_type(spark, sf_dir):
     # reference: SELECT log_type, COUNT(*) GROUP BY (A5, db_stats.py:30-31)
     # + SELECT log_type, MAX(id) GROUP BY (A6, db_stats.py:33-34) — one

@@ -1404,3 +1404,72 @@ def td_neardup_components(spark, sf_dir):
     corpus = _neardup_corpus(spark, sf_dir)
     pairs = D.minhash_lsh_pairs(corpus)  # md5 oracle-parity mode
     return D.neardup_components(corpus.select("doc_id"), pairs)
+
+
+_FRAME_SAMPLE_SQL = """
+    WITH src AS (
+        SELECT event_id, event_id % 5 + 2 AS w, event_id % 4 + 2 AS h,
+               event_id % 4 + 2 AS nf
+        FROM events WHERE event_id < 300
+    ),
+    fr AS (
+        SELECT event_id, w, h, unnest(range(0, nf)) AS f FROM src
+    )
+    SELECT event_id, CAST(f AS INTEGER) AS frame_idx,
+           CAST(w * h AS BIGINT) AS n_values,
+           CAST(list_sum(list_transform(range(0, w * h),
+                p -> (event_id * 7 + f * 3 + p * 11) % 256)) AS BIGINT) AS val_sum
+    FROM fr WHERE f % 2 = 0
+"""
+
+
+@q("td_frame_sample", _FRAME_SAMPLE_SQL)
+def td_frame_sample(spark, sf_dir):
+    """Video-style keyframe sampling over REAL animated GIFs (r5 closes
+    the last pytest-only codec op): multi-frame containers generated
+    from event_id (each frame its own LZW stream), sample_gif_frames
+    keeps every 2nd frame and re-encodes it as PNG, decode_stats decodes
+    those back, and the oracle recomputes every sampled frame's pixel
+    sum in closed form — the full frame walk → LZW expand → PNG
+    round-trip is equality-gated per frame."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from illumio_spark.functions.multimodal import (
+        decode_stats,
+        encode_gif_anim,
+        sample_gif_frames,
+    )
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 300).select("event_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def payload(i: int) -> bytes:
+            w, h, nf = i % 5 + 2, i % 4 + 2, i % 4 + 2
+            frames = [
+                [(i * 7 + f * 3 + p * 11) % 256 for p in range(w * h)]
+                for f in range(nf)
+            ]
+            return encode_gif_anim(w, h, frames)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["event_id"], "payload": [payload(int(i)) for i in pdf["event_id"]]}
+            )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    sampled = sample_gif_frames(ev.mapInPandas(gen, schema=schema), every_n=2)
+    keyed = sampled.select(
+        (F.col("doc_id") * 1000 + F.col("frame_idx")).alias("doc_id"),
+        F.col("frame_png").alias("payload"),
+    )
+    st = decode_stats(keyed)
+    return st.select(
+        (F.col("doc_id") / 1000).cast("long").alias("event_id"),
+        (F.col("doc_id") % 1000).cast("int").alias("frame_idx"),
+        "n_values", "val_sum",
+    )

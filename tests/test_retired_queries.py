@@ -116,3 +116,9 @@ def test_td_minhash_signature_matches_oracle(spark):
     from illumio_spark.queries.catalog_td import MINHASH_SIG_SQL, td_minhash_signature
 
     _compare(td_minhash_signature(spark, SF), MINHASH_SIG_SQL)
+
+
+def test_a5_counts_by_type_matches_oracle(spark):
+    from illumio_spark.queries.catalog import A5_SQL, a5_counts_by_type
+
+    _compare(a5_counts_by_type(spark, SF), A5_SQL)
