@@ -76,7 +76,9 @@ def run(spark, args) -> dict:
 
     # 3. decontamination vs the eval corpus (optional)
     if args.eval:
-        eval_df = spark.read.parquet(args.eval).select("doc_id", "text")
+        # decontaminate only reads the eval TEXT (it assigns its own ids),
+        # so any parquet with a text column works as an eval set
+        eval_df = spark.read.parquet(args.eval).select("text")
         cur = stage(
             "decontaminate", cur, D.decontaminate(cur, eval_df, k=args.ngram)
         )
