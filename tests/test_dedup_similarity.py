@@ -341,3 +341,13 @@ def test_neardup_components_chain_transitivity(spark):
     assert comp[0] == comp[3] == comp[5] == 0  # chain collapses to min id
     assert comp[1] == comp[2] == 1
     assert comp[4] == 4  # singleton keeps its own id
+
+
+def test_neardup_components_no_pairs_converges_immediately(spark):
+    # a pair-free corpus must converge in one round with identity labels
+    from illumio_spark.operators.dedup import neardup_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    comp = {r.doc_id: r.component for r in neardup_components(nodes, pairs).collect()}
+    assert comp == {i: i for i in range(4)}
