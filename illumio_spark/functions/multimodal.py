@@ -598,6 +598,15 @@ def decode_gif_gray(b: bytes) -> list[int]:
 
 
 @_codec_guard
+def gif_frame_rects(b: bytes) -> list[tuple]:
+    """All (left, top, w, h, gray_pixels) frame rects of a GIF, with the
+    generator fully consumed under the codec guard — the safe form for
+    callers that need per-frame dimensions (the raw generator can raise
+    non-ValueError classes mid-iteration on hostile bytes)."""
+    return list(_gif_walk_frames(b))
+
+
+@_codec_guard
 def decode_gif_frames(b: bytes) -> list[list[int]]:
     """All frames of an (animated) GIF as gray-pixel lists — REAL video-
     style frame extraction from a real multi-frame container. Frames are
@@ -653,7 +662,13 @@ def sample_gif_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
                 b = bytes(payload)
                 if _parse_header(b)[0] != "gif":
                     continue
-                for k, (_, _, fw, fh, px) in enumerate(_gif_walk_frames(b)):
+                # materialize the frame walk under the codec guard: a
+                # corrupt GIF contributes no rows instead of aborting
+                try:
+                    frames = gif_frame_rects(b)
+                except (ValueError, NotImplementedError):
+                    continue
+                for k, (_, _, fw, fh, px) in enumerate(frames):
                     if k % every_n:
                         continue
                     rows["doc_id"].append(doc_id)
@@ -1227,7 +1242,12 @@ def decode_stats(df: DataFrame) -> DataFrame:
                 if payload is None:
                     fmts.append(None), ns.append(None), sums.append(None), means.append(None)
                     continue
-                fmt, vals = decode_values(bytes(payload))
+                # per-row guard: corrupt payloads degrade to null stats
+                # (sniffed format kept), never abort the job
+                try:
+                    fmt, vals = decode_values(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    fmt, vals = _parse_header(bytes(payload))[0], None
                 fmts.append(fmt)
                 if vals is None:
                     ns.append(None), sums.append(None), means.append(None)
@@ -1278,7 +1298,13 @@ def audio_features(df: DataFrame) -> DataFrame:
                     continue
                 b = bytes(payload)
                 sr = _parse_header(b)[3]
-                x = np.asarray(decode_wav_pcm16(b), dtype=np.float64)
+                try:
+                    x = np.asarray(decode_wav_pcm16(b), dtype=np.float64)
+                except (ValueError, NotImplementedError):
+                    # corrupt WAV body → null feature row, job survives
+                    srs.append(sr), ns.append(None), rmss.append(None)
+                    zcrs.append(None), cents.append(None)
+                    continue
                 srs.append(sr), ns.append(len(x))
                 if len(x) == 0:
                     rmss.append(0.0), zcrs.append(0.0), cents.append(None)

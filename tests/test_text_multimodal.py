@@ -401,3 +401,33 @@ def test_c4_quality_signals(spark):
     assert out[3].n_sentences == 0 and out[3].c4_keep is False
     assert out[4].c4_keep is False and out[4].n_sentences is None
     assert out[5].frac_alpha_words == 0.0 and out[5].c4_keep is False
+
+
+def test_all_wrappers_survive_corrupt_payloads(spark):
+    """One corrupt payload per format must degrade to a null/absent row in
+    EVERY mapInPandas wrapper — never abort the job (the resize_images
+    per-row-guard contract, extended to decode_stats / audio_features /
+    sample_gif_frames in r5)."""
+    good_gif = MM.encode_gif_gray8(3, 2, [1, 2, 3, 4, 5, 6])
+    corrupt = [
+        (0, b"\x89PNG\r\n\x1a\n" + b"\x00" * 30),          # PNG, no IHDR body
+        (1, b"GIF89a" + b"\x05\x00\x04\x00" + b"\xff" * 8), # GIF, garbage blocks
+        (2, b"\xff\xd8\xff\xdb\x00\x02"),                   # JPEG, truncated DQT
+        (3, b"RIFF" + b"\x24\x00\x00\x00" + b"WAVE" + b"fmt " + b"\x00" * 20),
+        (4, good_gif),                                      # control row
+    ]
+    df = spark.createDataFrame(corrupt, "doc_id long, payload binary")
+
+    st = {r.doc_id: r for r in MM.decode_stats(df).collect()}
+    assert len(st) == 5
+    assert all(st[i].n_values is None for i in range(4))
+    assert st[4].n_values == 6 and st[4].val_sum == 21
+
+    af = {r.doc_id: r for r in MM.audio_features(df).collect()}
+    assert len(af) == 5 and af[3].rms is None
+
+    fr = MM.sample_gif_frames(df).collect()
+    assert {r.doc_id for r in fr} == {4}  # only the valid GIF yields frames
+
+    rz = {r.doc_id: r for r in MM.resize_images(df, 2, 2, "nearest").collect()}
+    assert len(rz) == 5 and rz[4].resized_png is not None
