@@ -387,3 +387,37 @@ def neardup_keepers(
     comp = neardup_components(df.select(id_col), pairs, id_col)
     losers = comp.filter(F.col(id_col) != F.col("component")).select(id_col)
     return df.join(losers, id_col, "left_anti")
+
+
+def verbatim_overlap_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 50, hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Intra-corpus exact-substring overlap: (id_a, id_b, n_shared) pairs
+    of documents sharing at least one verbatim k-token window — the
+    ExactSubstr dedup signal of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better"), as an equi-self-join on hashed
+    shingles instead of a suffix array (same pairs for window-level
+    granularity; the suffix array additionally locates the span).
+
+    Scale shape: shingles travel as 8-byte hashes; DISTINCT (id, hash)
+    collapses within-doc repeats map-side; the self-join shuffles on the
+    hash key, so only documents sharing a window ever meet, and the
+    id_a < id_b filter halves the pair space. A boilerplate window shared
+    by M docs fans out M² pairs — the honest cost of the EXACT signal
+    (cap M upstream by dropping ubiquitous shingles if needed, the
+    standard stop-shingle mitigation)."""
+    sh = exploded_shingles(df, id_col, text_col, k).filter(F.col("__s").isNotNull())
+    if hash_fn == "md5":
+        key = F.md5(F.col("__s"))
+    else:
+        key = F.xxhash64(F.col("__s"))
+    sh = sh.select(F.col(id_col), key.alias("__h")).distinct()
+    a = sh.select(F.col(id_col).alias("id_a"), "__h")
+    b = sh.select(F.col(id_col).alias("id_b"), "__h")
+    return (
+        a.join(b, "__h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

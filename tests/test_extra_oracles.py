@@ -109,3 +109,51 @@ def test_text_pipeline_job_end_to_end(spark, tmp_path):
 
     for _kind, pat in PII_PATTERNS:
         assert out.filter(F.col("text").rlike(pat)).count() == 0
+
+
+VERBATIM_SQL = """
+    WITH toks AS (
+        SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(TRIM(text), '\\s+'),
+                                 x -> x <> '') AS l
+              FROM read_parquet('{sf}/documents.parquet') WHERE text IS NOT NULL)
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, md5(s) AS h FROM (
+            SELECT doc_id,
+                   tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                       || ' ' || lead(tok, 3) OVER w AS s,
+                   lead(tok, 3) OVER w AS last
+            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+        WHERE last IS NOT NULL
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+"""
+
+
+def test_verbatim_overlap_pairs_matches_oracle(spark):
+    # k=4 at sf0.001: the wordbag corpus has genuine shared 4-grams, and
+    # DuckDB reproduces the md5-shingle self-join exactly
+    from illumio_spark.operators.dedup import verbatim_overlap_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    _compare(verbatim_overlap_pairs(docs, k=4, hash_fn="md5"), VERBATIM_SQL)
+
+
+def test_verbatim_overlap_planted(spark):
+    shared = " ".join(f"w{i}" for i in range(50))
+    rows = [
+        (0, "prefix " + shared + " suffix a"),
+        (1, "other intro " + shared + " trailing"),
+        (2, "completely different text with no overlap at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from illumio_spark.operators.dedup import verbatim_overlap_pairs
+
+    pairs = verbatim_overlap_pairs(df, k=50).collect()
+    assert len(pairs) == 1
+    assert (pairs[0].id_a, pairs[0].id_b) == (0, 1) and pairs[0].n_shared == 1
