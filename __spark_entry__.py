@@ -25,6 +25,9 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # driver-unverified). tools/selfcheck.py asserts both invariants.
 DRIVER_WINDOW = 50
 PRIORITY = [
+    # r6 rotations: the last two pytest-only operators cross the driver gate
+    "td_verbatim_overlap",  # ExactSubstr k-gram overlap pairs (new r6)
+    "td_url_domains",  # URL/domain analysis, doc+corpus scopes folded (new r6)
     # r5 rotations: fresh driver rows for the code that changed this round
     "td_bigram_lm",  # corpus bigram LM, 1e-6-grid quantized sums (new r5)
     "td_pii_scrub",  # precedence-aware PII counts + md5 of redacted text (r5)

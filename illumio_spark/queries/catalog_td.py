@@ -680,7 +680,12 @@ def _lang_guess_sql() -> str:
     """
 
 
-@q("td_lang_guess", _lang_guess_sql())
+# td_lang_guess was driver-green r2-r5 with unchanged code; rotated out in
+# r6 for the verbatim-overlap / URL-domain rows (VERDICT r5 task 1). Still
+# oracle-checked every pytest run via tests/test_retired_queries.py.
+LANG_GUESS_SQL = _lang_guess_sql()
+
+
 def td_lang_guess(spark, sf_dir):
     # marker-word language ID — JVM regexp_count passes, fully oracled
     d = load(spark, sf_dir, "documents")
@@ -704,7 +709,9 @@ _ROLLING_FP_SQL = f"""
 """
 
 
-@q("td_rolling_fingerprint", _ROLLING_FP_SQL)
+# td_rolling_fingerprint was driver-green r2-r5 with unchanged code; rotated
+# out in r6 for the verbatim-overlap / URL-domain rows (VERDICT r5 task 1).
+# Still oracle-checked every pytest run via tests/test_retired_queries.py.
 def td_rolling_fingerprint(spark, sf_dir):
     # codepoint Horner hash mod 2^64, two's-complement int64 — the DuckDB
     # oracle reproduces it with HUGEINT list_reduce arithmetic
@@ -1473,3 +1480,132 @@ def td_frame_sample(spark, sf_dir):
         (F.col("doc_id") % 1000).cast("int").alias("frame_idx"),
         "n_values", "val_sum",
     )
+
+
+# --- r6 rotation: the last two pytest-only operators cross the driver gate
+# (VERDICT r5 task 1) -------------------------------------------------------
+
+_VERBATIM_SQL = """
+    WITH toks AS (
+        SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(TRIM(text), '\\s+'),
+                                 x -> x <> '') AS l
+              FROM documents WHERE text IS NOT NULL)
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, md5(s) AS h FROM (
+            SELECT doc_id,
+                   tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                       || ' ' || lead(tok, 3) OVER w AS s,
+                   lead(tok, 3) OVER w AS last
+            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+        WHERE last IS NOT NULL
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+"""
+
+
+@q("td_verbatim_overlap", _VERBATIM_SQL)
+def td_verbatim_overlap(spark, sf_dir):
+    """ExactSubstr dedup signal (Lee et al. 2022): document pairs sharing
+    at least one verbatim k-token window, as a hashed-shingle equi-self-
+    join (md5 oracle-parity mode; xxhash64 is the engine default at
+    scale). k=4 because the wordbag corpus has genuine shared 4-grams at
+    test SF; a real pass uses k=50. DuckDB replays the identical
+    tokenize → shingle → md5 → self-join pipeline."""
+    docs = load(spark, sf_dir, "documents")
+    return D.verbatim_overlap_pairs(docs, k=4, hash_fn="md5")
+
+
+_URL_DOMAINS_SQL = """
+    WITH docs2 AS (
+        SELECT doc_id,
+               COALESCE(text, '') || ' https://Site' || CAST(doc_id % 7 AS VARCHAR)
+                 || '.example.com/page'
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN ' http://mirror' || CAST(doc_id % 5 AS VARCHAR) || '.org/x'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 11 = 0
+                         THEN ' https://site0.example.com/dup' ELSE '' END AS text
+        FROM documents
+    ),
+    u AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+')) AS u
+        FROM docs2
+    ),
+    d AS (SELECT doc_id, lower(regexp_replace(u, '^https?://', '')) AS dom FROM u),
+    per_dom AS (
+        SELECT 'domain' AS scope, dom AS ukey,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_urls,
+               CAST(NULL AS BIGINT) AS n_domains
+        FROM d GROUP BY dom
+    ),
+    s AS (SELECT doc_id, CAST(COUNT(dom) AS BIGINT) AS n_urls,
+                 CAST(COUNT(DISTINCT dom) AS BIGINT) AS n_domains
+          FROM d GROUP BY doc_id),
+    per_doc AS (
+        SELECT 'doc' AS scope, CAST(docs.doc_id AS VARCHAR) AS ukey,
+               CAST(NULL AS BIGINT) AS n_docs,
+               COALESCE(s.n_urls, 0) AS n_urls,
+               COALESCE(s.n_domains, 0) AS n_domains
+        FROM docs2 docs LEFT JOIN s USING (doc_id)
+    )
+    SELECT * FROM per_dom UNION ALL SELECT * FROM per_doc
+"""
+
+
+@q("td_url_domains", _URL_DOMAINS_SQL)
+def td_url_domains(spark, sf_dir):
+    """URL/domain analysis folded into one driver row (VERDICT r5 task 1):
+    corpus-level domain frequencies (scope='domain': allow/block-list
+    input, Zipf-skewed shuffle key absorbed by AQE) unioned with
+    per-document URL signals (scope='doc': link-spam features). Both
+    operators' full outputs cross the cross-engine gate; the n_docs /
+    n_domains columns are null in the scope where they don't apply.
+
+    The wordbag corpus contains no URLs, so (like the codec rows) the
+    query plants deterministic URLs from doc_id in BOTH engines before
+    extraction: 7 hot domains (%7), a second mixed-case scheme/domain arm
+    (%3 / %5), and a %11 duplicate of site0 exercising distinct-vs-total
+    counting and case folding."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" https://Site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/page"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" http://mirror"),
+                    (F.col("doc_id") % 5).cast("string"),
+                    F.lit(".org/x"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit(" https://site0.example.com/dup")
+            ).otherwise(F.lit("")),
+        ),
+    )
+    per_dom = TX.domain_counts(d).select(
+        F.lit("domain").alias("scope"),
+        F.col("domain").alias("ukey"),
+        F.col("n_docs"),
+        F.col("n_urls"),
+        F.lit(None).cast("long").alias("n_domains"),
+    )
+    per_doc = TX.doc_url_stats(d).select(
+        F.lit("doc").alias("scope"),
+        F.col("doc_id").cast("string").alias("ukey"),
+        F.lit(None).cast("long").alias("n_docs"),
+        F.col("n_urls"),
+        F.col("n_domains"),
+    )
+    return per_dom.unionByName(per_doc)

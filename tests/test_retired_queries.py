@@ -122,3 +122,18 @@ def test_a5_counts_by_type_matches_oracle(spark):
     from illumio_spark.queries.catalog import A5_SQL, a5_counts_by_type
 
     _compare(a5_counts_by_type(spark, SF), A5_SQL)
+
+
+# --- rotated out in r6 for the verbatim-overlap / URL-domain rows ---------
+
+
+def test_td_lang_guess_matches_oracle(spark):
+    from illumio_spark.queries.catalog_td import LANG_GUESS_SQL, td_lang_guess
+
+    _compare(td_lang_guess(spark, SF), LANG_GUESS_SQL)
+
+
+def test_td_rolling_fingerprint_matches_oracle(spark):
+    from illumio_spark.queries.catalog_td import _ROLLING_FP_SQL, td_rolling_fingerprint
+
+    _compare(td_rolling_fingerprint(spark, SF), _ROLLING_FP_SQL)
