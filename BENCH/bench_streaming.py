@@ -123,7 +123,7 @@ def main():
 
     # JVM-native session_window variant (append mode → parquet sink works)
     r = run_stream(
-        spark, lambda s: sessionize_stream_native(s, watermark="96 hours"),
+        spark, lambda s: sessionize_stream_native(s, watermark="96 hours", gap="96 hours"),
         input_dir, "sessionize_native",
     )
     result["sessionize_stream_native"] = r

@@ -329,15 +329,21 @@ def neardup_components(
     component; dropping `id_b` of every pair over-keeps on chains like
     a-b, b-c only by accident of id ordering).
 
-    Min-label propagation, the standard Spark CC recipe (what GraphX/
-    GraphFrames run underneath): each iteration joins labels to the
-    symmetric edge list and takes the per-node MIN of own and neighbor
-    labels, until a fixpoint. Iterations = graph diameter in the worst
-    case; near-dup graphs are unions of small cliques/chains, so 2-3
-    rounds in practice. Each round is one equi-join + one groupBy —
-    shuffle keys are ids, never edge cross-products. The driver-side
-    convergence check is one count() per round (an iterative algorithm's
-    irreducible action), not a per-row collect."""
+    Min-label propagation with pointer jumping, the standard Spark CC
+    recipe (what GraphX/GraphFrames run underneath): each iteration joins
+    labels to the symmetric edge list, takes the per-node MIN of own and
+    neighbor labels, then SHORTCUTS through the label table
+    (component := label(component)) so the hop distance covered doubles
+    per round — convergence is O(log diameter), and max_iters=20 covers
+    diameter 2^20 (vs 20 without the jump; r5 ADVICE). Near-dup graphs
+    are unions of small cliques/chains, so 2-3 rounds in practice. Each
+    round is two equi-joins + one groupBy — shuffle keys are ids, never
+    edge cross-products. The driver-side convergence check is one count()
+    per round (an iterative algorithm's irreducible action), not a
+    per-row collect.
+
+    Raises RuntimeError if max_iters is exhausted before the fixpoint —
+    truncated (split) components must never be returned silently."""
     edges = (
         pairs.select(F.col("id_a").alias("__src"), F.col("id_b").alias("__dst"))
         .unionByName(
@@ -363,6 +369,21 @@ def neardup_components(
                 ).alias("component"),
             )
         )
+        # pointer jumping: a component label is itself a node id, so look
+        # up ITS current label and take the min — what that node learned
+        # this round propagates here immediately, doubling reach per round
+        lmap = new_labels.select(
+            F.col(id_col).alias("__lid"), F.col("component").alias("__lcomp")
+        )
+        new_labels = (
+            new_labels.join(lmap, new_labels["component"] == lmap["__lid"], "left")
+            .select(
+                id_col,
+                F.least(
+                    F.col("component"), F.coalesce(F.col("__lcomp"), F.col("component"))
+                ).alias("component"),
+            )
+        )
         new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
         changed = (
             new_labels.alias("n")
@@ -373,6 +394,12 @@ def neardup_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"neardup_components did not converge in {max_iters} iterations "
+            f"({changed} labels still changing) — component labels would be "
+            "split; raise max_iters (each round doubles the covered diameter)"
+        )
     return labels
 
 

@@ -260,11 +260,21 @@ class TableIO:
                 )
                 return {"runs": -1, "files_before": -1, "files_after": -1}
             except Exception as e:
+                # tight match (r5 ADVICE): only signals that the CALL never
+                # reached a real rewrite — unknown procedure/routine, the
+                # `local` procedure catalog not being registered, or the
+                # CALL syntax itself unsupported. A failure whose message
+                # merely CONTAINS 'catalog' or 'not found' (e.g. a data
+                # file missing mid-rewrite) must raise.
                 msg = str(e).lower()
                 if not any(
                     s in msg
                     for s in (
-                        "procedure", "cannot resolve", "catalog", "not found",
+                        "rewrite_data_files",
+                        "unresolved_routine",
+                        "procedure",
+                        "catalog 'local' not found",
+                        "catalog plugin class not found",
                         "parse_syntax_error",
                     )
                 ):

@@ -121,7 +121,7 @@ def sessionize_batch(df: DataFrame) -> DataFrame:
 
 
 def sessionize_stream_native(
-    stream: DataFrame, watermark: str = "30 minutes", gap: str | None = None
+    stream: DataFrame, watermark: str = "30 minutes", gap: str = "30 minutes"
 ) -> DataFrame:
     """JVM-native streaming sessionizer via ``F.session_window`` — the
     fast path when sessions only need AGGREGATES (count/sum/min/max): the
@@ -134,8 +134,12 @@ def sessionize_stream_native(
     ``sessionize_stream`` only when the session logic genuinely needs
     imperative per-turn state (custom timeout actions, per-turn lineage);
     emits one row per CLOSED session (append mode — watermark must pass
-    the session gap before a row appears, the session_window contract)."""
-    gap = gap if gap is not None else watermark
+    the session gap before a row appears, the session_window contract).
+
+    ``watermark`` (how long to wait for late data) and ``gap`` (idle time
+    that closes a session) are unrelated quantities — each has its own
+    default; tune them independently (r5 ADVICE: gap no longer silently
+    aliases the watermark delay)."""
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.session_window(F.col("ts"), gap), F.col("conv_id"))

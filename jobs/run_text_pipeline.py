@@ -19,11 +19,14 @@ Local smoke:
     python jobs/run_text_pipeline.py \\
         --input /root/testdata/sf0.001/documents.parquet --output /tmp/cleaned
 
-Stages (each optional-out via flags, all DataFrame plans — one action per
-stage for the attrition report, then one write):
+Stages (each optional-out via flags, all DataFrame plans; each stage's
+surviving frame is localCheckpoint-ed before its report count, so every
+stage's joins execute exactly once — without the checkpoint, stage N's
+count action re-executes stages 1..N-1, O(stages²) total work at scale):
   1. exact dedup       — md5 fingerprint, min-id keeper per group
   2. near-dup drop     — minhash-LSH candidate pairs (xxhash64 engine
-                         mode), drop the higher id of each pair
+                         mode) → connected components, keep the min-id
+                         representative per component
   3. decontamination   — GPT-3-style 13-gram overlap vs --eval corpus
   4. quality filter    — C4/Gopher c4_keep conjunction
   5. PII scrub         — emails/SSNs/IPv4s/phones redacted in place
@@ -47,41 +50,48 @@ def run(spark, args) -> dict:
     from illumio_spark.operators import dedup as D
 
     report: dict = {"stages": []}
+    n_prev: list[int] = [0]
 
-    def stage(name: str, df_in, df_out):
-        n_in, n_out = df_in.count(), df_out.count()
+    def stage(name: str, df_out):
+        # localCheckpoint materializes the surviving frame ONCE; its count
+        # and every later stage then read materialized partitions instead
+        # of re-executing stages 1..N-1's joins (VERDICT r5 task 2 — the
+        # uncached version did O(stages²) work via the report actions).
+        # On a cluster with unreliable executors, swap for
+        # persist(StorageLevel.DISK_ONLY) + a terminal unpersist sweep:
+        # same single-execution guarantee, recomputable on executor loss.
+        df_out = df_out.localCheckpoint(eager=True)
+        n_out = df_out.count()
         report["stages"].append(
-            {"stage": name, "rows_in": n_in, "rows_out": n_out,
-             "dropped": n_in - n_out}
+            {"stage": name, "rows_in": n_prev[0], "rows_out": n_out,
+             "dropped": n_prev[0] - n_out}
         )
+        n_prev[0] = n_out
         return df_out
 
     docs = spark.read.parquet(args.input)
     if "doc_id" not in docs.columns or "text" not in docs.columns:
         raise SystemExit("input must have (doc_id, text) columns")
+    n_prev[0] = docs.count()
 
     # 1. exact dedup: keep the min-id representative of each text group
     keepers = D.exact_dedup_keepers(docs).select(
         F.col("keeper").alias("doc_id")
     )
-    cur = stage("exact_dedup", docs, docs.join(keepers, "doc_id", "left_semi"))
+    cur = stage("exact_dedup", docs.join(keepers, "doc_id", "left_semi"))
 
     # 2. near-dup drop (optional): LSH pairs → connected components →
     #    keep the min-id representative per component (transitivity-
     #    correct: a-b, b-c is ONE group even though (a,c) never paired)
     if args.near_dups:
-        cur = stage(
-            "near_dup_drop", cur, D.neardup_keepers(cur, hash_fn="xxhash64")
-        )
+        cur = stage("near_dup_drop", D.neardup_keepers(cur, hash_fn="xxhash64"))
 
     # 3. decontamination vs the eval corpus (optional)
     if args.eval:
         # decontaminate only reads the eval TEXT (it assigns its own ids),
         # so any parquet with a text column works as an eval set
         eval_df = spark.read.parquet(args.eval).select("text")
-        cur = stage(
-            "decontaminate", cur, D.decontaminate(cur, eval_df, k=args.ngram)
-        )
+        cur = stage("decontaminate", D.decontaminate(cur, eval_df, k=args.ngram))
 
     # 4. C4/Gopher quality filter (thresholds are corpus-style knobs:
     #    a punctuation-free corpus needs --min-sentences 0)
@@ -94,7 +104,7 @@ def run(spark, args) -> dict:
             .filter(F.col("c4_keep"))
             .select("doc_id")
         )
-        cur = stage("c4_quality", cur, cur.join(keep_ids, "doc_id", "left_semi"))
+        cur = stage("c4_quality", cur.join(keep_ids, "doc_id", "left_semi"))
 
     # 5. PII scrub in place (row count unchanged; report counts scrubbed)
     pii = TX.pii_counts(F.col("text"))

