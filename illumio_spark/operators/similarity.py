@@ -282,12 +282,21 @@ def ivf_train_centroids(
     the standard IVF recipe (faiss trains on ~100k-1M points regardless of
     corpus size); the full corpus only ever sees the broadcast centroids
     in the assignment pass. Deterministic under the seed: the sample is
-    the first sample_n rows by order_col (TakeOrdered — a per-partition
-    top-k merge, not a full sort), so the training set no longer depends
-    on partitioning or plan choice."""
+    the hash-predicate subset pmod(xxhash64(order_col), m) == 0 with
+    m = ceil(n / sample_n) — deterministic in the DATA (independent of
+    partitioning and plan choice, the r4 ADVICE requirement) AND
+    scan-local: one column-pruned count plus one map-only filtered scan,
+    no per-partition top-k merge (the r5 orderBy().limit() fix cost a
+    TakeOrdered pass over the corpus; r5 VERDICT task 4 trades it away).
+    order_col must be unique-ish (an id) — duplicated values hash
+    identically and would over-select."""
+    n = emb.count()
+    m = max(1, -(-n // sample_n))  # ceil; expected sample size ≈ sample_n
     pdf = (
-        emb.select(order_col, vec_col).orderBy(order_col).limit(sample_n)
-        .select(vec_col).toPandas()
+        emb.select(order_col, vec_col)
+        .filter(F.pmod(F.xxhash64(F.col(order_col)), F.lit(m)) == 0)
+        .select(vec_col)
+        .toPandas()
     )
     x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
     if x.size == 0:
