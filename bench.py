@@ -192,6 +192,51 @@ class StderrCapture:
         return hit
 
 
+def sf1_arm(spark) -> dict | None:
+    """At-scale regression arm (VERDICT r5 task 8): pipeline_e2e at
+    sf1.0 (~13 M turns) plus the dedup family on the 10× document corpus,
+    each run ONCE — the sf0.1 arm that just ran warmed every plan shape
+    (JIT is shape-bound, not size-bound), so these are steady-state
+    numbers at ~1/10th the cost of re-warming at scale.
+
+    Gate: env SPARK_GRAFT_SF1 — '1' forces (synthesizes caches if absent,
+    ~10 min first time), '0' disables, unset/'auto' runs IFF both
+    .bench_cache corpora already exist (never surprises the driver with
+    synthesis cost)."""
+    flag = os.environ.get("SPARK_GRAFT_SF1", "auto").lower()
+    if flag in ("0", "off", "false"):
+        return None
+    n_conv = max(int(1.0 * CONV_PER_SF), 200)
+    t_cache = os.path.join(CACHE_DIR, f"transcripts_v{SYNTH_VERSION}_nconv{n_conv}.parquet")
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"))
+    import bench_sf1 as S
+
+    d_cache = os.path.join(CACHE_DIR, f"documents_v{S.DOCS_V}_mult10.parquet")
+    if flag not in ("1", "on", "true") and not (
+        os.path.exists(t_cache) and os.path.exists(d_cache)
+    ):
+        return None
+    from pyspark.sql import functions as F
+
+    out: dict = {}
+    elapsed, n_turns = bench_pipeline(spark, 1.0, warmup=False)
+    out["pipeline_e2e"] = round(elapsed, 3)
+    out["pipeline_turns"] = n_turns
+    out["pipeline_turns_per_sec"] = round(n_turns / elapsed, 1)
+    corpus = S.docs_corpus(spark, 10)
+    out["n_docs"] = corpus.count()
+    eval_df = (
+        spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id", "text")
+    )
+    for name, df in S.dedup_suite(spark, corpus, eval_df).items():
+        t0 = time.time()
+        df.write.mode("overwrite").format("noop").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -220,6 +265,8 @@ def main():
             qmap[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
             queries[name] = round(time.time() - t0, 3)
 
+        sf1 = sf1_arm(spark)
+
         spark.stop()
 
     total = round(sum(queries.values()), 3)
@@ -236,6 +283,7 @@ def main():
                 "cpus": int(cpus),
                 "disk_mb_s": disk_mb_s,
                 "codegen_fallback": cap.codegen_fallback(),
+                **({"sf1": sf1} if sf1 else {}),
             }
         )
     )
