@@ -361,6 +361,11 @@ def neardup_components(
         )
         .distinct()
     )
+    # materialize the edge list ONCE: every round joins against it, and an
+    # un-checkpointed `pairs` lineage (e.g. the whole minhash-LSH pipeline)
+    # would otherwise re-execute per round — measured 2× on the driver row
+    # (r6); the GraphX equivalent is its mandatory edge-RDD cache
+    edges = edges.localCheckpoint(eager=True)
     labels = nodes.select(F.col(id_col), F.col(id_col).alias("component"))
     for _ in range(max_iters):
         neighbor_min = (
@@ -426,7 +431,7 @@ def neardup_keepers(
 
 def verbatim_overlap_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    k: int = 50, hash_fn: str = "xxhash64",
+    k: int = 50, hash_fn: str = "xxhash64", max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Intra-corpus exact-substring overlap: (id_a, id_b, n_shared) pairs
     of documents sharing at least one verbatim k-token window — the
@@ -439,15 +444,29 @@ def verbatim_overlap_pairs(
     collapses within-doc repeats map-side; the self-join shuffles on the
     hash key, so only documents sharing a window ever meet, and the
     id_a < id_b filter halves the pair space. A boilerplate window shared
-    by M docs fans out M² pairs — the honest cost of the EXACT signal
-    (cap M upstream by dropping ubiquitous shingles if needed, the
-    standard stop-shingle mitigation)."""
+    by M docs fans out M² pairs — the honest cost of the EXACT signal.
+
+    max_doc_freq is the standard stop-shingle mitigation: drop every
+    window appearing in more than that many documents BEFORE the
+    self-join (one groupBy on the 8-byte hash + one anti-join — linear
+    work that caps the fan-out at max_doc_freq² per window). Ubiquitous
+    windows are boilerplate (licenses, headers, templates), not the
+    copying signal; a license shared by 1M docs must never fan out 10¹²
+    pairs. None = exact, uncapped (the oracle mode)."""
     sh = exploded_shingles(df, id_col, text_col, k).filter(F.col("__s").isNotNull())
     if hash_fn == "md5":
         key = F.md5(F.col("__s"))
     else:
         key = F.xxhash64(F.col("__s"))
     sh = sh.select(F.col(id_col), key.alias("__h")).distinct()
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("__h")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_doc_freq)
+            .select("__h")
+        )
+        sh = sh.join(hot, "__h", "left_anti")
     a = sh.select(F.col(id_col).alias("id_a"), "__h")
     b = sh.select(F.col(id_col).alias("id_b"), "__h")
     return (

@@ -262,3 +262,24 @@ def test_verbatim_overlap_spans_planted_block(spark):
     assert big.n_windows == 11 and big.span_tokens == 60
     small = spans[(65, 65)]  # 3 + 60 + 2 = 65 in doc0; 1 + 60 + 4 = 65 in doc1
     assert small.n_windows == 1 and small.span_tokens == 50
+
+
+def test_verbatim_overlap_stop_shingles(spark):
+    """max_doc_freq drops ubiquitous (boilerplate) windows before the
+    self-join: a 50-token block shared by ALL four docs is excluded at
+    max_doc_freq=3, leaving only the pair that also shares a rare block."""
+    boiler = " ".join(f"b{i}" for i in range(50))
+    rare = " ".join(f"r{i}" for i in range(50))
+    rows = [
+        (0, boiler + " x0 " + rare),
+        (1, boiler + " y0 y1 " + rare),
+        (2, boiler + " unrelated filler tokens here"),
+        (3, boiler + " other filler entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from illumio_spark.operators.dedup import verbatim_overlap_pairs
+
+    capped = verbatim_overlap_pairs(df, k=50, max_doc_freq=3).collect()
+    assert [(r.id_a, r.id_b) for r in capped] == [(0, 1)]
+    uncapped = verbatim_overlap_pairs(df, k=50).collect()
+    assert len(uncapped) == 6  # all C(4,2) pairs meet via the boilerplate
