@@ -165,11 +165,20 @@ def dedup_stream(
     """Streaming-native exact dedup (the S4/J4 anti-join as a stream).
 
     ``dropDuplicatesWithinWatermark`` keeps first-arrival rows per key and
-    expires key state once the event-time watermark passes — bounded state
-    at any stream length, the property the reference's processed-keys set
-    (app/log_processor.py:129-169, grows forever in sqlite) lacks. Keys
-    default to the (conv_id, turn_idx) turn identity; duplicates arriving
-    within the watermark window are dropped exactly, later than it —
-    already expired upstream by the watermark contract."""
+    expires key state once the event-time watermark passes eventTime +
+    delay — bounded state at any stream length, the property the
+    reference's processed-keys set (app/log_processor.py:129-169, grows
+    forever in sqlite) lacks. Keys default to the (conv_id, turn_idx)
+    turn identity.
+
+    Verified divergence contract (pytest-pinned, r6): duplicates arriving
+    within `watermark` of first arrival are dropped exactly; rows whose
+    event time has fallen more than `watermark` behind the stream's
+    watermark are DISCARDED on input — originals and duplicates alike —
+    so an expired key's duplicate never resurfaces as a false new row,
+    at the price of also dropping that-late originals (the explicit
+    engine form of the reference's look-back-window file loss, T2/T4).
+    State eviction runs at end-of-batch; the watermark itself advances
+    one micro-batch behind the data (standard Spark semantics)."""
     keys = keys or ["conv_id", "turn_idx"]
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
