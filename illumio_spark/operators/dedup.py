@@ -526,3 +526,84 @@ def verbatim_overlap_spans(
         "id_a", "id_b", "pos_a", "pos_b", "n_windows",
         (F.col("n_windows") + F.lit(k - 1)).cast("bigint").alias("span_tokens"),
     )
+
+
+def cut_verbatim_spans(
+    df: DataFrame, spans: DataFrame, id_col: str = "doc_id",
+    text_col: str = "text", min_span_tokens: int = 50,
+) -> DataFrame:
+    """Apply the Lee et al. 2022 ExactSubstr REMEDIATION: given the output
+    of verbatim_overlap_spans, remove each duplicated span from the
+    HIGHER-id document of its pair (the lower id keeps one canonical
+    copy), leaving the rest of the document intact — the alternative to
+    dropping whole documents that contain one shared block.
+
+    Plan, all codegen DataFrame ops:
+      1. spans → per-doc cut intervals [pos_b, pos_b + span_tokens) on the
+         id_b side, keeping only runs >= min_span_tokens (cut only real
+         duplication, not chance k-gram hits);
+      2. merge overlapping/adjacent intervals per doc (gap-and-islands:
+         running max of interval end over a pos-ordered window);
+      3. tokenize affected docs, posexplode, range anti-condition against
+         the doc's merged intervals, rebuild text in token order.
+    Shuffle keys are doc ids throughout; untouched docs pass through
+    without explode cost (left_anti split). Whitespace is normalized to
+    single spaces in REBUILT docs only (tokenization is whitespace-based,
+    same as the detector's)."""
+    iv = (
+        spans.filter(F.col("span_tokens") >= min_span_tokens)
+        .select(
+            F.col("id_b").alias(id_col),
+            F.col("pos_b").alias("__start"),
+            (F.col("pos_b") + F.col("span_tokens")).alias("__end"),
+        )
+        .distinct()
+    )
+    w_ord = Window.partitionBy(id_col).orderBy("__start", "__end")
+    run_end = F.max("__end").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    merged = (
+        iv.withColumn(
+            "__new_island",
+            F.when(
+                run_end.isNull() | (F.col("__start") > run_end), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__isl",
+            F.sum("__new_island").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy(id_col, "__isl")
+        .agg(F.min("__start").alias("__start"), F.max("__end").alias("__end"))
+    )
+    cuts = merged.groupBy(id_col).agg(
+        F.collect_list(F.struct("__start", "__end")).alias("__cuts")
+    )
+    affected = df.join(cuts, id_col, "inner")
+    untouched = df.join(cuts.select(id_col), id_col, "left_anti")
+    toks = affected.select(
+        id_col,
+        "__cuts",
+        *[c for c in df.columns if c not in (id_col, text_col)],
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__pos", "__tok"),
+    )
+    keep = toks.filter(
+        ~F.exists(
+            "__cuts",
+            lambda c: (F.col("__pos") >= c["__start"]) & (F.col("__pos") < c["__end"]),
+        )
+    )
+    passthru = [c for c in df.columns if c not in (id_col, text_col)]
+    rebuilt = keep.groupBy(id_col, *passthru).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+        ).alias(text_col)
+    )
+    return untouched.unionByName(rebuilt.select(*df.columns))

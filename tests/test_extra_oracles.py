@@ -283,3 +283,35 @@ def test_verbatim_overlap_stop_shingles(spark):
     assert [(r.id_a, r.id_b) for r in capped] == [(0, 1)]
     uncapped = verbatim_overlap_pairs(df, k=50).collect()
     assert len(uncapped) == 6  # all C(4,2) pairs meet via the boilerplate
+
+
+def test_cut_verbatim_spans_remediation(spark):
+    """The Lee et al. cut-the-span remediation end-to-end: spans located
+    by verbatim_overlap_spans are removed from the higher-id doc of each
+    pair (lower id keeps the canonical copy), non-span text survives
+    verbatim, a doc that IS entirely duplicated span drops, and — the
+    self-validating property — re-running the detector on the cleaned
+    corpus finds nothing."""
+    from illumio_spark.operators.dedup import (
+        cut_verbatim_spans,
+        verbatim_overlap_pairs,
+        verbatim_overlap_spans,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(60))
+    shared2 = " ".join(f"z{i}" for i in range(50))
+    rows = [
+        (0, "p0 p1 p2 " + shared + " s0 s1 " + shared2),
+        (1, "q0 " + shared + " t0 t1 t2 t3 " + shared2 + " t4"),
+        (2, "completely different text with no overlap at all"),
+        (3, shared),  # pure duplicate block: fully cut -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = verbatim_overlap_spans(df, k=50)
+    cleaned = cut_verbatim_spans(df, spans)
+    got = {r.doc_id: r.text for r in cleaned.collect()}
+    assert got[0] == rows[0][1]  # lower id of every pair: untouched
+    assert got[1] == "q0 t0 t1 t2 t3 t4"  # both spans excised, rest intact
+    assert got[2] == rows[2][1]
+    assert 3 not in got and len(got) == 3
+    assert verbatim_overlap_pairs(cleaned, k=50).count() == 0
