@@ -27,6 +27,8 @@ count action re-executes stages 1..N-1, O(stages²) total work at scale):
   2. near-dup drop     — minhash-LSH candidate pairs (xxhash64 engine
                          mode) → connected components, keep the min-id
                          representative per component
+  2b. verbatim cut     — --cut-spans K: ExactSubstr spans excised from
+                         the higher-id doc (Lee et al. remediation)
   3. decontamination   — GPT-3-style 13-gram overlap vs --eval corpus
   4. quality filter    — C4/Gopher c4_keep conjunction
   5. PII scrub         — emails/SSNs/IPv4s/phones redacted in place
@@ -86,6 +88,16 @@ def run(spark, args) -> dict:
     if args.near_dups:
         cur = stage("near_dup_drop", D.neardup_keepers(cur, hash_fn="xxhash64"))
 
+    # 2b. verbatim span remediation (optional): locate shared k-token
+    #     runs (ExactSubstr) and CUT them from the higher-id doc instead
+    #     of dropping documents — fully-duplicated docs still drop
+    cut_k = getattr(args, "cut_spans", 0) or 0
+    if cut_k:
+        spans = D.verbatim_overlap_spans(cur, k=cut_k)
+        cur = stage(
+            "verbatim_cut", D.cut_verbatim_spans(cur, spans, min_span_tokens=cut_k)
+        )
+
     # 3. decontamination vs the eval corpus (optional)
     if args.eval:
         # decontaminate only reads the eval TEXT (it assigns its own ids),
@@ -142,6 +154,9 @@ def main() -> None:
                     help="decontamination shingle size (GPT-3 rule: 13)")
     ap.add_argument("--near-dups", action="store_true",
                     help="also drop minhash-LSH near-duplicates")
+    ap.add_argument("--cut-spans", type=int, default=0, metavar="K",
+                    help="excise verbatim K-token spans from the higher-id "
+                         "doc of each sharing pair (0 = off)")
     ap.add_argument("--quality", default="c4", choices=["c4", "off"],
                     help="page-quality filter stage (default C4/Gopher)")
     ap.add_argument("--min-sentences", type=int, default=3,

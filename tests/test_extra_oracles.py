@@ -315,3 +315,29 @@ def test_cut_verbatim_spans_remediation(spark):
     assert got[2] == rows[2][1]
     assert 3 not in got and len(got) == 3
     assert verbatim_overlap_pairs(cleaned, k=50).count() == 0
+
+
+def test_text_pipeline_cut_spans_stage(spark, tmp_path):
+    """--cut-spans K wires the ExactSubstr remediation into the curation
+    CLI between near-dup drop and decontamination: the stage appears in
+    the attrition report, attrition stays monotone, and total tokens
+    shrink versus the same run without cutting (spans were excised)."""
+    import argparse
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.run_text_pipeline import run
+
+    def go(cut):
+        args = argparse.Namespace(
+            input=f"{SF}/documents.parquet", output=str(tmp_path / f"c{cut}"),
+            eval=None, ngram=13, near_dups=False, quality="off",
+            min_sentences=0, min_alpha_frac=0.8, cut_spans=cut,
+        )
+        return run(spark, args)
+
+    base, cut = go(0), go(4)
+    assert "verbatim_cut" in {s["stage"] for s in cut["stages"]}
+    rows = [s["rows_out"] for s in cut["stages"]]
+    assert all(a >= b for a, b in zip(rows, rows[1:]))
+    assert cut["tokens"]["total"] < base["tokens"]["total"]
