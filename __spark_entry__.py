@@ -25,7 +25,9 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # driver-unverified). tools/selfcheck.py asserts both invariants.
 DRIVER_WINDOW = 50
 PRIORITY = [
-    # r6 rotations: the last two pytest-only operators cross the driver gate
+    # r6 rotations: the last two pytest-only operators cross the driver gate,
+    # plus the new span-level ExactSubstr output (replaces retired td_token_count)
+    "td_verbatim_spans",  # maximal shared k-gram runs w/ positions (new r6)
     "td_verbatim_overlap",  # ExactSubstr k-gram overlap pairs (new r6)
     "td_url_domains",  # URL/domain analysis, doc+corpus scopes folded (new r6)
     # r5 rotations: fresh driver rows for the code that changed this round

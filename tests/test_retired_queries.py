@@ -137,3 +137,9 @@ def test_td_rolling_fingerprint_matches_oracle(spark):
     from illumio_spark.queries.catalog_td import _ROLLING_FP_SQL, td_rolling_fingerprint
 
     _compare(td_rolling_fingerprint(spark, SF), _ROLLING_FP_SQL)
+
+
+def test_td_token_count_matches_oracle(spark):
+    from illumio_spark.queries.catalog_td import TOKEN_COUNT_SQL, td_token_count
+
+    _compare(td_token_count(spark, SF), TOKEN_COUNT_SQL)
