@@ -1,0 +1,148 @@
+"""Corpus-assembly operators: the step AFTER cleaning, where curated
+documents become a training mixture — per-source sampling weights and
+GPT-style concat-and-chunk sequence packing.
+
+Reference parity: the reference pipeline ends at routed sinks + rollup
+aggregates (app/log_processor.py routing, app/health_reporter.py counts);
+these operators are the training-data extension family the SURVEY §2
+addendum calls for, same role as operators/dedup.py.
+
+Scale notes:
+  - mixture_weights: one map-side-combined groupBy over the source column
+    (|sources| rows out — always tiny) + a broadcast of the target map.
+    At 100 TB this is a single shuffle of partial sums.
+  - pack_chunks: one window cumsum per stratum. The window key is the
+    stratum (source) and the order key is doc_id — at 100 TB each
+    stratum's running sum is a single-pass prefix scan per partition
+    range; for a global (stratum=None) pack order the window has ONE
+    partition, so prefer per-source strata at scale (each source packs
+    independently, which is also what data-mixing pipelines want).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from illumio_spark.functions import text as TX
+
+
+def mixture_weights(
+    df: DataFrame,
+    targets: dict[str, float],
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source sampling weights to hit a target token mixture.
+
+    Given target fractions per source (need not sum to 1 — they are
+    normalized), returns one row per observed source:
+      (source, n_docs, n_tokens, actual_frac, target_frac, weight)
+    where weight = target_frac / actual_frac — the relative sampling /
+    repeat factor that reshapes the corpus into the target mixture
+    (Pile/Dolma-style data mixing). Sources absent from `targets` get
+    target_frac 0.0 and weight 0.0 (dropped from the mix); weights are
+    exact ratios, consumer normalizes (e.g. cap at max-repeat budget).
+
+    Determinism: pure aggregation — no sampling happens here; pair with
+    a hash-predicate filter (xxhash64(id) % K < weight*K) to materialize
+    the mix scan-locally without a shuffle.
+    """
+    tot = sum(targets.values()) or 1.0
+    norm = [(k, float(v) / tot) for k, v in sorted(targets.items())]
+    tgt = df.sparkSession.createDataFrame(norm, f"{source_col} string, target_frac double")
+    per = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.token_count(F.col(text_col)).cast("bigint")).alias("n_tokens"),
+    )
+    total = Window.partitionBy()
+    return (
+        per.withColumn(
+            "actual_frac",
+            F.col("n_tokens").cast("double") / F.sum("n_tokens").over(total),
+        )
+        .join(F.broadcast(tgt), source_col, "left")
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            "actual_frac",
+            F.coalesce(F.col("target_frac"), F.lit(0.0)).alias("target_frac"),
+            (
+                F.coalesce(F.col("target_frac"), F.lit(0.0)) / F.col("actual_frac")
+            ).alias("weight"),
+        )
+    )
+
+
+def pack_chunks(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stratum_col: str | None = "source",
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing coordinates.
+
+    Documents are concatenated in deterministic (stratum, id) order and
+    the token stream is cut every `seq_len` tokens; each doc's row
+    reports where its tokens land:
+      (stratum?, doc_id, n_tokens, start_off, first_pack, last_pack)
+    with start_off the doc's 0-based offset in its stratum's token
+    stream, first_pack/last_pack = floor(start/seq_len),
+    floor((end-1)/seq_len). A doc with last_pack > first_pack straddles
+    a pack boundary (the concat-and-chunk trade-off this output makes
+    visible: SUM(last_pack - first_pack) is the number of split docs).
+    Empty docs (0 tokens) carry first_pack = last_pack = the pack their
+    offset falls in (they occupy no tokens).
+
+    One window cumsum per stratum; pass stratum_col=None to pack the
+    whole corpus as a single stream (single-partition window — fine at
+    test SF, use strata at scale).
+    """
+    n_tok = TX.token_count(F.col(text_col)).cast("bigint")
+    keys = [stratum_col] if stratum_col else []
+    w = Window.partitionBy(*keys).orderBy(id_col)
+    d = df.select(*keys, id_col, n_tok.alias("n_tokens"))
+    d = d.withColumn(
+        "start_off",
+        F.coalesce(
+            F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("bigint"),
+        ),
+    )
+    end_tok = F.col("start_off") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1
+    return d.select(
+        *keys,
+        id_col,
+        "n_tokens",
+        "start_off",
+        F.floor(F.col("start_off") / seq_len).cast("bigint").alias("first_pack"),
+        F.floor(end_tok / seq_len).cast("bigint").alias("last_pack"),
+    )
+
+
+def pack_stats(packed: DataFrame, seq_len: int, stratum_col: str | None = "source") -> DataFrame:
+    """Pack-level summary of pack_chunks output, per stratum:
+    (stratum?, n_docs, n_tokens, n_packs, n_split_docs, fill_frac) where
+    n_packs = ceil(total_tokens / seq_len), n_split_docs counts docs
+    straddling >= 1 boundary, and fill_frac = total_tokens /
+    (n_packs * seq_len) — the packing efficiency a pipeline monitors."""
+    keys = [stratum_col] if stratum_col else []
+    agg = packed.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum(
+            (F.col("last_pack") > F.col("first_pack")).cast("bigint")
+        ).alias("n_split_docs"),
+    )
+    n_packs = F.ceil(F.col("n_tokens") / seq_len).cast("bigint")
+    return agg.select(
+        *keys,
+        "n_docs",
+        "n_tokens",
+        n_packs.alias("n_packs"),
+        "n_split_docs",
+        (
+            F.col("n_tokens").cast("double") / (n_packs * F.lit(seq_len))
+        ).alias("fill_frac"),
+    )

@@ -341,3 +341,92 @@ def test_text_pipeline_cut_spans_stage(spark, tmp_path):
     rows = [s["rows_out"] for s in cut["stages"]]
     assert all(a >= b for a, b in zip(rows, rows[1:]))
     assert cut["tokens"]["total"] < base["tokens"]["total"]
+
+
+# --- corpus-assembly operators (operators/curation.py) ---------------------
+
+MIXTURE_SQL = """
+    WITH per AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split_regex(TRIM(text), '\\s+'))) AS BIGINT)
+                   AS n_tokens
+        FROM read_parquet('{sf}/documents.parquet') GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS actual_frac,
+           COALESCE(t.target_frac, 0.0) AS target_frac,
+           COALESCE(t.target_frac, 0.0)
+               / (CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ()) AS weight
+    FROM per LEFT JOIN (VALUES {targets}) t(source, target_frac) USING (source)
+"""
+
+PACK_SQL = """
+    WITH d AS (
+        SELECT source, doc_id,
+               CAST(len(string_split_regex(TRIM(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM read_parquet('{sf}/documents.parquet')
+    ),
+    o AS (
+        SELECT *, COALESCE(SUM(n_tokens) OVER (
+                     PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS start_off
+        FROM d
+    )
+    SELECT source, doc_id, n_tokens, start_off,
+           CAST(FLOOR(start_off / {L}) AS BIGINT) AS first_pack,
+           CAST(FLOOR((start_off + GREATEST(n_tokens, 1) - 1) / {L}) AS BIGINT)
+               AS last_pack
+    FROM o
+"""
+
+
+def test_mixture_weights_matches_oracle(spark):
+    """Data-mixing weights: per-source token shares vs normalized targets.
+    Targets cover half the sources (others get weight 0.0 = dropped) and
+    are deliberately unnormalized — the operator normalizes. Both engines
+    compute the identical single-division expressions, so doubles are
+    bit-equal."""
+    from illumio_spark.operators.curation import mixture_weights
+
+    raw = {f"src{i}": float(1 + i % 3) for i in range(0, 20, 2)}
+    tot = sum(raw.values())
+    norm = {k: v / tot for k, v in raw.items()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # string→DOUBLE cast: a bare decimal literal is DECIMAL in DuckDB and
+    # its double conversion can be 1 ULP off the Python float the Spark
+    # side broadcasts; the string parse is the IEEE round-trip
+    vals = ", ".join(f"('{k}', CAST('{v!r}' AS DOUBLE))" for k, v in sorted(norm.items()))
+    _compare(mixture_weights(docs, raw), MIXTURE_SQL.replace("{targets}", vals))
+
+
+def test_pack_chunks_matches_oracle(spark):
+    """Concat-and-chunk packing coordinates per source stratum, seq_len
+    deliberately small (64) so docs straddle pack boundaries at test SF."""
+    from illumio_spark.operators.curation import pack_chunks
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    _compare(pack_chunks(docs, 64), PACK_SQL.replace("{L}", "64"))
+
+
+def test_pack_stats_invariants(spark):
+    """Pack-level rollup: token totals conserved, fill_frac in (0, 1],
+    split-doc count equals the straddle count recomputed from the
+    coordinate output, and a seq_len larger than any stratum's stream
+    yields exactly one pack per stratum with zero splits."""
+    import pyspark.sql.functions as F
+    from illumio_spark.operators.curation import pack_chunks, pack_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    packed = pack_chunks(docs, 64)
+    stats = pack_stats(packed, 64).toPandas().set_index("source")
+    base = packed.groupBy("source").agg(
+        F.sum("n_tokens").alias("t"),
+        F.sum((F.col("last_pack") > F.col("first_pack")).cast("long")).alias("s"),
+    ).toPandas().set_index("source")
+    assert (stats["n_tokens"] == base["t"]).all()
+    assert (stats["n_split_docs"] == base["s"]).all()
+    assert ((stats["fill_frac"] > 0) & (stats["fill_frac"] <= 1)).all()
+    big = pack_stats(pack_chunks(docs, 10**9), 10**9).toPandas()
+    assert (big["n_packs"] == 1).all() and (big["n_split_docs"] == 0).all()
