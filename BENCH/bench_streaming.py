@@ -157,7 +157,7 @@ def main():
     result["dedup_bounded_state_frac"] = round(r["state_rows_max"] / n_turns, 4)
 
     r = run_stream(
-        spark, lambda s: sessionize_stream(s, watermark="96 hours"),
+        spark, lambda s: sessionize_stream(s, watermark="96 hours", gap="96 hours"),
         input_dir, "sessionize", update_mode=True,
     )
     result["sessionize_stream"] = r

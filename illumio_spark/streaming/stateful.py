@@ -87,16 +87,18 @@ def _parse_duration_ms(d: str) -> int:
 
 
 def sessionize_stream(
-    stream: DataFrame, watermark: str = "30 minutes", gap: str | None = None
+    stream: DataFrame, watermark: str = "30 minutes", gap: str = "30 minutes"
 ) -> DataFrame:
     """applyInPandasWithState sessionizer over a transcript stream.
 
-    `gap` is the quiet period that closes a session (event-time timeout);
-    it defaults to the watermark duration so late-data tolerance and
-    session-close behavior stay consistent."""
+    `gap` is the quiet period that closes a session (event-time timeout).
+    It has its own explicit default — a watermark delay (late-data
+    tolerance) and a session gap are unrelated quantities, so tuning one
+    never silently changes the other (same contract as
+    sessionize_stream_native)."""
     import functools
 
-    gap_ms = _parse_duration_ms(gap if gap is not None else watermark)
+    gap_ms = _parse_duration_ms(gap)
     return (
         stream.withWatermark("ts", watermark)
         .groupBy("conv_id")
