@@ -70,7 +70,7 @@ def bench_overrides() -> dict:
         q1_pricing_summary,
         q3_revenue_topn,
     )
-    from illumio_spark.queries.catalog_td import _neardup_corpus
+    from illumio_spark.queries.catalog_td import _neardup_corpus, td_token_count
 
     return {
         # rotated out of the driver registry in r5 (pytest-oracled in
@@ -79,6 +79,9 @@ def bench_overrides() -> dict:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_revenue_topn": q3_revenue_topn,
         "a7_count_distinct": a7_count_distinct,
+        # rotated out in r6 (slot went to td_verbatim_spans); kept here so
+        # the row-level JVM projection number stays round-comparable
+        "td_token_count": td_token_count,
         "td_minhash_lsh_pairs": lambda spark, sf_dir: D.minhash_lsh_pairs(
             _neardup_corpus(spark, sf_dir), hash_fn="xxhash64"
         ),
