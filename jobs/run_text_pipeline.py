@@ -32,6 +32,9 @@ count action re-executes stages 1..N-1, O(stages²) total work at scale):
   3. decontamination   — GPT-3-style 13-gram overlap vs --eval corpus
   4. quality filter    — C4/Gopher c4_keep conjunction
   5. PII scrub         — emails/SSNs/IPv4s/phones redacted in place
+  6. assembly report   — --mix-targets / --pack-len: per-source mixture
+                         weights and packing efficiency of the CLEANED
+                         corpus (report-only, rows untouched)
 """
 
 from __future__ import annotations
@@ -142,6 +145,32 @@ def run(spark, args) -> dict:
         "total": int(r.total_tokens or 0),
         "p50": float(r.p50 or 0), "p99": float(r.p99 or 0),
     }
+
+    # 6. corpus-assembly report (optional): what the CLEANED corpus looks
+    #    like as a training mixture — per-source token shares vs targets,
+    #    and concat-and-chunk packing efficiency at the training seq_len
+    mix_targets = getattr(args, "mix_targets", None)
+    if mix_targets and "source" in out.columns:
+        from illumio_spark.operators.curation import mixture_weights
+
+        targets = (
+            json.loads(mix_targets) if isinstance(mix_targets, str) else mix_targets
+        )
+        report["mixture"] = [
+            row.asDict() for row in
+            mixture_weights(out, targets).orderBy("source").collect()
+        ]
+    pack_len = getattr(args, "pack_len", 0) or 0
+    if pack_len:
+        from illumio_spark.operators.curation import pack_chunks, pack_stats
+
+        stratum = "source" if "source" in out.columns else None
+        packed = pack_chunks(out, pack_len, stratum_col=stratum)
+        report["packing"] = [
+            row.asDict() for row in
+            pack_stats(packed, pack_len, stratum_col=stratum)
+            .orderBy(stratum if stratum else F.lit(1)).collect()
+        ]
     return report
 
 
@@ -163,6 +192,13 @@ def main() -> None:
                     help="C4 sentence threshold (0 for punctuation-free corpora)")
     ap.add_argument("--min-alpha-frac", type=float, default=0.8,
                     help="Gopher alphabetic-word fraction threshold")
+    ap.add_argument("--mix-targets", metavar="JSON",
+                    help='target token mixture per source, e.g. '
+                         '\'{"web": 0.6, "code": 0.4}\' — reports per-source '
+                         "sampling weights over the cleaned corpus")
+    ap.add_argument("--pack-len", type=int, default=0, metavar="N",
+                    help="report concat-and-chunk packing stats at training "
+                         "sequence length N (0 = off)")
     ap.add_argument("--report", help="write the attrition report JSON here")
     args = ap.parse_args()
 

@@ -430,3 +430,35 @@ def test_pack_stats_invariants(spark):
     assert ((stats["fill_frac"] > 0) & (stats["fill_frac"] <= 1)).all()
     big = pack_stats(pack_chunks(docs, 10**9), 10**9).toPandas()
     assert (big["n_packs"] == 1).all() and (big["n_split_docs"] == 0).all()
+
+
+def test_text_pipeline_assembly_report(spark, tmp_path):
+    """--mix-targets / --pack-len append report-only corpus-assembly
+    sections: mixture weights sum the cleaned corpus's tokens exactly,
+    packing conserves tokens and never exceeds one pack of slack per
+    stratum, and row counts are untouched by either flag."""
+    import argparse
+    import json as _json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.run_text_pipeline import run
+
+    targets = {f"src{i}": 1.0 for i in range(0, 20, 2)}
+    args = argparse.Namespace(
+        input=f"{SF}/documents.parquet", output=str(tmp_path / "c"),
+        eval=None, ngram=13, near_dups=False, quality="off",
+        min_sentences=0, min_alpha_frac=0.8, cut_spans=0,
+        mix_targets=_json.dumps(targets), pack_len=64,
+    )
+    rep = run(spark, args)
+    mix = rep["mixture"]
+    assert sum(m["n_tokens"] for m in mix) == rep["tokens"]["total"]
+    assert abs(sum(m["actual_frac"] for m in mix) - 1.0) < 1e-9
+    # targeted sources get positive weight, untargeted get 0.0 (dropped)
+    assert all((m["weight"] > 0) == (m["source"] in targets) for m in mix)
+    pk = rep["packing"]
+    assert sum(p["n_tokens"] for p in pk) == rep["tokens"]["total"]
+    assert all(0 < p["fill_frac"] <= 1 for p in pk)
+    assert all(p["n_packs"] * 64 - p["n_tokens"] < 64 for p in pk)
+    assert rep["final_rows"] == rep["stages"][-1]["rows_out"]
