@@ -54,12 +54,15 @@ def mixture_weights(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(TX.token_count(F.col(text_col)).cast("bigint")).alias("n_tokens"),
     )
-    total = Window.partitionBy()
+    # 1-row broadcast total instead of an unpartitioned window: same
+    # value, no single-partition WindowExec on the (tiny) aggregate
+    total = per.agg(F.sum("n_tokens").alias("__tot"))
     return (
-        per.withColumn(
-            "actual_frac",
-            F.col("n_tokens").cast("double") / F.sum("n_tokens").over(total),
+        per.crossJoin(F.broadcast(total))
+        .withColumn(
+            "actual_frac", F.col("n_tokens").cast("double") / F.col("__tot")
         )
+        .drop("__tot")
         .join(F.broadcast(tgt), source_col, "left")
         .select(
             source_col,
