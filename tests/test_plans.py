@@ -223,3 +223,33 @@ def test_bigram_lm_vocab_is_single_row_broadcast(spark):
     plan = _plan(bigram_lm_scores(docs, quantize=1e6))
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_new_r6_rows_have_scale_safe_plans(spark):
+    # r6 additions: span-level ExactSubstr (driver row) and the corpus-
+    # assembly operators. No cartesian/BNLJ except mixture_weights'
+    # intentional 1-row total broadcast (a constant join, same rationale
+    # as bigram-LM's vocab); packing's window must partition by the
+    # stratum, never an empty partition spec.
+    from illumio_spark.operators.curation import mixture_weights, pack_chunks
+    from illumio_spark.queries.catalog_td import td_verbatim_spans
+
+    plan = _plan(td_verbatim_spans(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(pack_chunks(docs, 2048))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the cumsum window is keyed by the stratum (one prefix scan per
+    # source), and the scan is pruned to the columns packing uses
+    assert "partitionBy=[source" in plan.replace(" ", "").replace("'", "") or \
+        "[source" in [l for l in plan.splitlines() if "Window" in l][0]
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read_schema and "lang" not in read_schema
+
+    plan = _plan(mixture_weights(docs, {"src0": 1.0}))
+    assert "CartesianProduct" not in plan
+    # the only nested loop is the broadcast of the 1-row corpus total
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
