@@ -96,7 +96,11 @@ def pack_chunks(
     a pack boundary (the concat-and-chunk trade-off this output makes
     visible: SUM(last_pack - first_pack) is the number of split docs).
     Empty docs (0 tokens) carry first_pack = last_pack = the pack their
-    offset falls in (they occupy no tokens).
+    offset falls in (they occupy no tokens). NULL text yields NULL
+    n_tokens, contributes 0 to every later offset (SUM skips nulls),
+    and lands in the pack at its offset — probe-verified on Spark 4.1
+    (size(NULL) is NULL here, not the legacy -1, so no offset
+    corruption).
 
     One window cumsum per stratum; pass stratum_col=None to pack the
     whole corpus as a single stream (single-partition window — fine at
