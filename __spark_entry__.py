@@ -25,6 +25,11 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # driver-unverified). tools/selfcheck.py asserts both invariants.
 DRIVER_WINDOW = 50
 PRIORITY = [
+    # late-r6 rotations: corpus-assembly operators cross the driver gate
+    # (out: td_media_sniff, td_quality_score — stable since r2/r3, now in
+    # tests/test_retired_queries.py)
+    "td_mixture_weights",  # data-mixing weights vs normalized targets (new r6)
+    "td_pack_chunks",  # concat-and-chunk packing coordinates (new r6)
     # r6 rotations: the last two pytest-only operators cross the driver gate,
     # plus the new span-level ExactSubstr output (replaces retired td_token_count)
     "td_verbatim_spans",  # maximal shared k-gram runs w/ positions (new r6)

@@ -634,9 +634,10 @@ def td_token_count(spark, sf_dir):
     )
 
 
-@q(
-    "td_quality_score",
-    """
+# td_quality_score was driver-green r3-r6 with unchanged code; rotated out
+# late-r6 for the corpus-assembly rows (td_mixture_weights, td_pack_chunks).
+# Still oracle-checked every pytest run via tests/test_retired_queries.py.
+QUALITY_SCORE_SQL = """
     SELECT doc_id,
            CAST(LENGTH(text) AS INTEGER) AS n_chars,
            CAST(len(string_split_regex(TRIM(text), '\\s+')) AS INTEGER) AS n_words,
@@ -646,8 +647,9 @@ def td_token_count(spark, sf_dir):
            CAST(len(list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
                 w -> list_contains(['the','a','of','and','to','in','is'], w))) AS INTEGER) AS n_stop
     FROM documents
-    """,
-)
+    """
+
+
 def td_quality_score(spark, sf_dir):
     # length/word/punctuation quality signals + the stopword-count signal in
     # one row-level projection (all JVM expressions, zero shuffle)
@@ -721,9 +723,10 @@ def td_rolling_fingerprint(spark, sf_dir):
     return d.select("doc_id", TX.rolling_fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
 
 
-@q(
-    "td_media_sniff",
-    """
+# td_media_sniff was driver-green r2-r6 with unchanged code; rotated out
+# late-r6 for the corpus-assembly rows (td_mixture_weights, td_pack_chunks).
+# Still oracle-checked every pytest run via tests/test_retired_queries.py.
+MEDIA_SNIFF_SQL = """
     SELECT event_id,
            CASE WHEN event_id % 4 = 0 THEN 'png'
                 WHEN event_id % 4 = 1 THEN 'gif'
@@ -740,8 +743,9 @@ def td_rolling_fingerprint(spark, sf_dir):
            CASE WHEN event_id % 4 = 2 THEN CAST(event_id % 2 + 1 AS INTEGER)
                 END AS channels
     FROM events WHERE event_id < 1000
-    """,
-)
+    """
+
+
 def td_media_sniff(spark, sf_dir):
     """Multimodal header sniffing, oracle-checked end-to-end: payloads are
     REAL container headers (PNG IHDR / GIF LSD / WAV fmt) generated from
@@ -1669,3 +1673,93 @@ def td_verbatim_spans(spark, sf_dir):
     return D.verbatim_overlap_spans(docs, k=4, hash_fn="md5").withColumn(
         "pos_a", F.col("pos_a").cast("int")
     ).withColumn("pos_b", F.col("pos_b").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# corpus-assembly driver rows (operators/curation.py) — promoted to the
+# driver gate in late r6 (pytest-oracled since their introduction,
+# tests/test_extra_oracles.py). Reference parity: the reference pipeline
+# ends at routed sinks + rollups (app/log_processor.py, app/health_reporter.py);
+# these extend the same curated corpus into a training mixture.
+# ---------------------------------------------------------------------------
+
+# Deterministic unnormalized targets over half the sf sources; the operator
+# normalizes. Only even sources get weight > 0 — odd ones report weight 0.0
+# (dropped from the mix), exercising the coalesce path.
+_MIXTURE_TARGETS = {f"src{i}": float(1 + i % 3) for i in range(0, 20, 2)}
+
+
+def _mixture_sql() -> str:
+    tot = sum(_MIXTURE_TARGETS.values())
+    # string→DOUBLE cast: a bare decimal literal is DECIMAL in DuckDB and
+    # its double conversion can be 1 ULP off the Python float the Spark
+    # side broadcasts; the string parse is the IEEE round-trip
+    vals = ", ".join(
+        f"('{k}', CAST('{v / tot!r}' AS DOUBLE))"
+        for k, v in sorted(_MIXTURE_TARGETS.items())
+    )
+    return f"""
+    WITH per AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split_regex(TRIM(text), '\\s+'))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS actual_frac,
+           COALESCE(t.target_frac, 0.0) AS target_frac,
+           COALESCE(t.target_frac, 0.0)
+               / (CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ()) AS weight
+    FROM per LEFT JOIN (VALUES {vals}) t(source, target_frac) USING (source)
+    """
+
+
+@q("td_mixture_weights", _mixture_sql())
+def td_mixture_weights(spark, sf_dir):
+    """Data-mixing weights (Pile/Dolma-style): per-source token shares vs
+    normalized targets; weight = target_frac / actual_frac is the
+    sampling/repeat factor reshaping the corpus into the target mixture.
+    One map-side-combined groupBy (|sources| rows) + two tiny broadcasts
+    — a single partial-sum shuffle at 100 TB. Doubles are bit-equal
+    across engines because both sides compute the identical single
+    divisions on identical bigint sums."""
+    from illumio_spark.operators.curation import mixture_weights
+
+    docs = load(spark, sf_dir, "documents")
+    return mixture_weights(docs, _MIXTURE_TARGETS)
+
+
+_PACK_SQL = """
+    WITH d AS (
+        SELECT source, doc_id,
+               CAST(len(string_split_regex(TRIM(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    o AS (
+        SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+                     PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS start_off
+        FROM d
+    )
+    SELECT source, doc_id, n_tokens, start_off,
+           CAST(FLOOR(start_off / 64) AS BIGINT) AS first_pack,
+           CAST(FLOOR((start_off + GREATEST(n_tokens, 1) - 1) / 64) AS BIGINT)
+               AS last_pack
+    FROM o
+"""
+
+
+@q("td_pack_chunks", _PACK_SQL)
+def td_pack_chunks(spark, sf_dir):
+    """GPT-style concat-and-chunk packing coordinates per source stratum:
+    each doc's offset in its stratum's token stream and the pack ids its
+    tokens land in (last_pack > first_pack ⇔ the doc straddles a
+    boundary). seq_len=64 is deliberately small so docs straddle at test
+    SF. One window cumsum per stratum — a per-partition-range prefix
+    scan at 100 TB; all-integer output, no FP tolerance needed."""
+    from illumio_spark.operators.curation import pack_chunks
+
+    docs = load(spark, sf_dir, "documents")
+    return pack_chunks(docs, 64)

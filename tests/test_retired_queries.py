@@ -33,8 +33,10 @@ def _compare(spark_df, sql: str):
     g = got[cols].sort_values(cols).reset_index(drop=True)
     w = want[cols].sort_values(cols).reset_index(drop=True)
     for c in cols:
-        assert g[c].where(g[c].notna(), None).tolist() == \
-            w[c].where(w[c].notna(), None).tolist(), f"column {c} differs"
+        # astype(object) first: .where(..., None) on a float column keeps
+        # NaN (can't hold None), and NaN != NaN fails the comparison
+        assert g[c].astype(object).where(g[c].notna(), None).tolist() == \
+            w[c].astype(object).where(w[c].notna(), None).tolist(), f"column {c} differs"
 
 
 def test_a12_deterministic_sample_matches_oracle(spark):
@@ -143,3 +145,18 @@ def test_td_token_count_matches_oracle(spark):
     from illumio_spark.queries.catalog_td import TOKEN_COUNT_SQL, td_token_count
 
     _compare(td_token_count(spark, SF), TOKEN_COUNT_SQL)
+
+
+# --- rotated out late-r6 for the corpus-assembly rows ---------------------
+
+
+def test_td_quality_score_matches_oracle(spark):
+    from illumio_spark.queries.catalog_td import QUALITY_SCORE_SQL, td_quality_score
+
+    _compare(td_quality_score(spark, SF), QUALITY_SCORE_SQL)
+
+
+def test_td_media_sniff_matches_oracle(spark):
+    from illumio_spark.queries.catalog_td import MEDIA_SNIFF_SQL, td_media_sniff
+
+    _compare(td_media_sniff(spark, SF), MEDIA_SNIFF_SQL)
