@@ -54,6 +54,9 @@ HEADLINE = [
     "td_c4_filters",
     "td_session_gaps",
     "td_neardup_components",
+    "td_verbatim_spans",
+    "td_mixture_weights",
+    "td_pack_chunks",
 ]
 
 
@@ -96,6 +99,11 @@ def bench_overrides() -> dict:
             spark.read.parquet(f"{sf_dir}/documents.parquet").filter("doc_id < 100"),
             n_hashes=4,
             hash_fn="xxhash64",
+        ),
+        # new r6: span-locating ExactSubstr on the engine-default hash
+        # (registry row uses md5 + k=4 for oracle parity)
+        "td_verbatim_spans": lambda spark, sf_dir: D.verbatim_overlap_spans(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), k=4, hash_fn="xxhash64"
         ),
     }
 
