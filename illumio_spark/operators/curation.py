@@ -153,3 +153,101 @@ def pack_stats(packed: DataFrame, seq_len: int, stratum_col: str | None = "sourc
             F.col("n_tokens").cast("double") / (n_packs * F.lit(seq_len))
         ).alias("fill_frac"),
     )
+
+
+def apply_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministically materialize a data mixture from per-source repeat
+    factors (mixture_weights' `weight` column): each doc appears
+    floor(w) + (hash_frac < frac(w)) times, tagged with copy_idx — the
+    Pile/Dolma "epoch multiplier" made exact. w < 1 is a deterministic
+    downsample (doc kept iff its hash fraction < w); w = 0 or a source
+    absent from `weights` drops the source; w = 2.25 repeats every doc
+    twice and a hash-selected quarter a third time, so per-source
+    expected token share matches the target mixture without RNG state.
+
+    hash_frac = first 8 md5 hex digits of 'source:id' as uint32 / 2^32 —
+    md5 so an external engine reproduces the selection bit-for-bit
+    (xxhash64 has no cross-engine twin; this runs once per doc, not per
+    token, so the digest cost is noise).
+
+    Scale: broadcast of the (tiny) weight map + a map-side explode — no
+    shuffle; output co-partitioned with the input scan.
+    """
+    w_df = df.sparkSession.createDataFrame(
+        sorted((k, float(v)) for k, v in weights.items()),
+        f"{source_col} string, __w double",
+    )
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(source_col), F.col(id_col))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    w = F.coalesce(F.col("__w"), F.lit(0.0))
+    n_copies = (
+        F.floor(w) + (frac < (w - F.floor(w))).cast("bigint")
+    ).alias("__n")
+    return (
+        df.join(F.broadcast(w_df), source_col, "left")
+        .select("*", n_copies)
+        .withColumn(
+            "copy_idx",
+            F.explode(
+                F.when(
+                    F.col("__n") > 0,
+                    F.sequence(F.lit(0).cast("bigint"), F.col("__n") - 1),
+                ).otherwise(F.array().cast("array<bigint>"))
+            ),
+        )
+        .drop("__w", "__n")
+    )
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget: int,
+    order_col: str | None = None,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy per-source selection under a token budget: docs are taken in
+    (order_col, id) ascending order (pass e.g. a negated quality score
+    for best-first) until the stratum's running token total reaches
+    `budget`. A doc is kept iff the total BEFORE it is < budget, so the
+    straddling doc is included and the selection overshoots by at most
+    one document — the standard fill-until-full contract. Returns
+    (source, id, n_tokens, cum_before) for the kept docs; deterministic
+    because the ordering is made total with the id tiebreaker.
+
+    Scale: one window prefix-scan per source stratum (same shape as
+    pack_chunks) followed by a row-local filter — a single shuffle on
+    the source key.
+    """
+    order = [order_col, id_col] if order_col else [id_col]
+    w = Window.partitionBy(source_col).orderBy(*order)
+    n_tok = TX.token_count(F.col(text_col)).cast("bigint")
+    d = df.select(
+        source_col, *([order_col] if order_col else []), id_col,
+        n_tok.alias("n_tokens"),
+    )
+    return (
+        d.withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0).cast("bigint"),
+            ).cast("bigint"),
+        )
+        .filter(F.col("cum_before") < budget)
+        .select(source_col, id_col, "n_tokens", "cum_before")
+    )

@@ -31,10 +31,18 @@ count action re-executes stages 1..N-1, O(stages²) total work at scale):
                          the higher-id doc (Lee et al. remediation)
   3. decontamination   — GPT-3-style 13-gram overlap vs --eval corpus
   4. quality filter    — C4/Gopher c4_keep conjunction
-  5. PII scrub         — emails/SSNs/IPv4s/phones redacted in place
-  6. assembly report   — --mix-targets / --pack-len: per-source mixture
+  5. token budget      — --token-budget N: greedy per-source selection
+                         until each source's running token total reaches
+                         N (fill-until-full; straddling doc kept)
+  6. PII scrub         — emails/SSNs/IPv4s/phones redacted in place
+  7. assembly report   — --mix-targets / --pack-len: per-source mixture
                          weights and packing efficiency of the CLEANED
                          corpus (report-only, rows untouched)
+  8. mix materialize   — --mix-output PATH: deterministically repeat /
+                         downsample each source by its mixture weight
+                         (apply_mixture, optionally capped --max-repeat)
+                         and write the mixed corpus alongside the
+                         cleaned one
 """
 
 from __future__ import annotations
@@ -121,7 +129,19 @@ def run(spark, args) -> dict:
         )
         cur = stage("c4_quality", cur.join(keep_ids, "doc_id", "left_semi"))
 
-    # 5. PII scrub in place (row count unchanged; report counts scrubbed)
+    # 5. per-source token budget (optional): greedy fill-until-full in
+    #    doc_id order — caps every source's contribution so one huge
+    #    source can't dominate the cleaned corpus
+    budget = getattr(args, "token_budget", 0) or 0
+    if budget:
+        from illumio_spark.operators.curation import select_token_budget
+
+        if "source" not in cur.columns:
+            raise SystemExit("--token-budget needs a source column")
+        picked = select_token_budget(cur, budget).select("doc_id")
+        cur = stage("token_budget", cur.join(picked, "doc_id", "left_semi"))
+
+    # 6. PII scrub in place (row count unchanged; report counts scrubbed)
     pii = TX.pii_counts(F.col("text"))
     hits = cur.agg(
         *[F.sum(c).alias(name) for name, c in pii.items()]
@@ -146,7 +166,7 @@ def run(spark, args) -> dict:
         "p50": float(r.p50 or 0), "p99": float(r.p99 or 0),
     }
 
-    # 6. corpus-assembly report (optional): what the CLEANED corpus looks
+    # 7. corpus-assembly report (optional): what the CLEANED corpus looks
     #    like as a training mixture — per-source token shares vs targets,
     #    and concat-and-chunk packing efficiency at the training seq_len
     mix_targets = getattr(args, "mix_targets", None)
@@ -160,6 +180,7 @@ def run(spark, args) -> dict:
             row.asDict() for row in
             mixture_weights(out, targets).orderBy("source").collect()
         ]
+
     pack_len = getattr(args, "pack_len", 0) or 0
     if pack_len:
         from illumio_spark.operators.curation import pack_chunks, pack_stats
@@ -171,6 +192,30 @@ def run(spark, args) -> dict:
             pack_stats(packed, pack_len, stratum_col=stratum)
             .orderBy(stratum if stratum else F.lit(1)).collect()
         ]
+
+    # 8. mixture materialization (optional): turn the reported weights
+    #    into an actual mixed corpus — floor(w) whole epochs per source
+    #    plus a deterministic md5-hash-selected residual fraction
+    mix_output = getattr(args, "mix_output", None)
+    if mix_output:
+        from illumio_spark.operators.curation import apply_mixture
+
+        if "mixture" not in report:
+            raise SystemExit("--mix-output needs --mix-targets (and a source column)")
+        cap = getattr(args, "max_repeat", 0) or 0
+        weights = {
+            m["source"]: (min(m["weight"], cap) if cap else m["weight"])
+            for m in report["mixture"]
+        }
+        mixed = apply_mixture(out, weights)
+        mixed.write.mode("overwrite").parquet(mix_output)
+        mixed_out = spark.read.parquet(mix_output)
+        mr = mixed_out.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(TX.token_count(F.col("text")).cast("bigint")).alias("tokens"),
+        ).first()
+        report["mixed"] = {"rows": int(mr.rows), "tokens": int(mr.tokens or 0)}
+
     return report
 
 
@@ -199,6 +244,14 @@ def main() -> None:
     ap.add_argument("--pack-len", type=int, default=0, metavar="N",
                     help="report concat-and-chunk packing stats at training "
                          "sequence length N (0 = off)")
+    ap.add_argument("--token-budget", type=int, default=0, metavar="N",
+                    help="cap each source at N tokens (greedy fill in doc_id "
+                         "order; 0 = off)")
+    ap.add_argument("--mix-output", metavar="PATH",
+                    help="materialize the --mix-targets mixture (deterministic "
+                         "repeat/downsample per source) to this parquet path")
+    ap.add_argument("--max-repeat", type=float, default=0,
+                    help="cap any source's mixture repeat factor (0 = no cap)")
     ap.add_argument("--report", help="write the attrition report JSON here")
     args = ap.parse_args()
 

@@ -462,3 +462,165 @@ def test_text_pipeline_assembly_report(spark, tmp_path):
     assert all(0 < p["fill_frac"] <= 1 for p in pk)
     assert all(p["n_packs"] * 64 - p["n_tokens"] < 64 for p in pk)
     assert rep["final_rows"] == rep["stages"][-1]["rows_out"]
+
+
+APPLY_MIX_SQL = """
+    WITH d AS (
+        SELECT source, doc_id,
+               CAST(concat('0x', substr(md5(source || ':' || doc_id), 1, 8))
+                    AS BIGINT) / 4294967296.0 AS frac
+        FROM read_parquet('{sf}/documents.parquet')
+    ),
+    j AS (
+        SELECT d.*, COALESCE(t.w, 0.0) AS w
+        FROM d LEFT JOIN (VALUES {weights}) t(source, w) USING (source)
+    ),
+    n AS (
+        SELECT source, doc_id,
+               CAST(FLOOR(w) + CASE WHEN frac < w - FLOOR(w) THEN 1 ELSE 0 END
+                    AS BIGINT) AS n_copies
+        FROM j
+    )
+    SELECT source, doc_id, unnest(generate_series(0, n_copies - 1)) AS copy_idx
+    FROM n WHERE n_copies > 0
+"""
+
+
+def test_apply_mixture_matches_oracle(spark):
+    """Deterministic mixture materialization: integer repeats + md5
+    hash-fraction residual. Weights span drop (0 implicit), downsample
+    (0.4), identity-ish (1.5), and multi-epoch (2.25) regimes."""
+    from illumio_spark.operators.curation import apply_mixture
+
+    weights = {"src0": 2.25, "src1": 0.4, "src2": 1.5, "src3": 1.0, "src4": 0.0}
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = apply_mixture(docs, weights).select("source", "doc_id", "copy_idx")
+    vals = ", ".join(
+        f"('{k}', CAST('{v!r}' AS DOUBLE))" for k, v in sorted(weights.items())
+    )
+    _compare(out, APPLY_MIX_SQL.replace("{weights}", vals))
+
+
+BUDGET_SQL = """
+    WITH d AS (
+        SELECT source, doc_id,
+               CAST(len(string_split_regex(TRIM(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM read_parquet('{sf}/documents.parquet')
+    ),
+    o AS (
+        SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+                     PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_before
+        FROM d
+    )
+    SELECT source, doc_id, n_tokens, cum_before FROM o WHERE cum_before < 300
+"""
+
+BUDGET_ORDERED_SQL = """
+    WITH d AS (
+        SELECT source, doc_id, n_chars,
+               CAST(len(string_split_regex(TRIM(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM read_parquet('{sf}/documents.parquet')
+    ),
+    o AS (
+        SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+                     PARTITION BY source ORDER BY n_chars, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_before
+        FROM d
+    )
+    SELECT source, doc_id, n_tokens, cum_before FROM o WHERE cum_before < 300
+"""
+
+
+def test_select_token_budget_matches_oracle(spark):
+    """Greedy fill-until-full under a 300-token per-source budget, both in
+    id order and under a caller-supplied ordering column (n_chars — the
+    'best-first' path); the straddling doc is kept in both engines."""
+    from illumio_spark.operators.curation import select_token_budget
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    _compare(select_token_budget(docs, 300), BUDGET_SQL)
+    _compare(
+        select_token_budget(docs, 300, order_col="n_chars"), BUDGET_ORDERED_SQL
+    )
+
+
+def test_select_token_budget_invariants(spark):
+    """Fill-until-full contract: every stratum's selection stays under
+    budget before its last pick (max cum_before < budget), and dropping
+    each stratum's straddling doc leaves the remainder strictly under
+    budget."""
+    from pyspark.sql import Window, functions as F
+
+    from illumio_spark.operators.curation import select_token_budget
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sel = select_token_budget(docs, 300)
+    rows = sel.groupBy("source").agg(F.max("cum_before").alias("max_before")).collect()
+    assert rows and all(r.max_before < 300 for r in rows)
+    w = Window.partitionBy("source").orderBy(F.desc("cum_before"))
+    rest = (
+        sel.withColumn("rnk", F.row_number().over(w))
+        .filter("rnk > 1")
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("rest"))
+        .collect()
+    )
+    assert rest and all(r.rest < 300 for r in rest)
+
+
+def test_text_pipeline_budget_and_mix_output(spark, tmp_path):
+    """--token-budget caps every source's selected tokens (fill-until-full:
+    strictly under budget before the straddling doc), and --mix-output
+    materializes exactly the mixture apply_mixture computes from the
+    reported weights, capped by --max-repeat."""
+    import argparse
+    import json as _json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+
+    from illumio_spark.operators.curation import apply_mixture
+    from jobs.run_text_pipeline import run
+
+    targets = {"src0": 0.3, "src1": 0.3, "src2": 0.4}
+    args = argparse.Namespace(
+        input=f"{SF}/documents.parquet", output=str(tmp_path / "c"),
+        eval=None, ngram=13, near_dups=False, quality="off",
+        min_sentences=0, min_alpha_frac=0.8, cut_spans=0,
+        mix_targets=_json.dumps(targets), pack_len=0,
+        token_budget=800, mix_output=str(tmp_path / "m"), max_repeat=5.0,
+    )
+    rep = run(spark, args)
+    stages = {s["stage"]: s for s in rep["stages"]}
+    assert stages["token_budget"]["rows_out"] < stages["token_budget"]["rows_in"]
+
+    # the budget held per source in the WRITTEN corpus: total minus the
+    # straddling (max-id) doc is strictly under budget
+    from illumio_spark.functions import text as TX
+
+    cleaned = spark.read.parquet(str(tmp_path / "c"))
+    per = (
+        cleaned.select("source", "doc_id", TX.token_count(F.col("text")).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("tot"), F.max_by("n", "doc_id").alias("last_n"))
+        .collect()
+    )
+    assert per and all(r.tot - r.last_n < 800 for r in per)
+
+    # mixed output == apply_mixture of the cleaned corpus under the same
+    # capped weights, row for row
+    weights = {
+        m["source"]: min(m["weight"], 5.0) for m in rep["mixture"]
+    }
+    expect = apply_mixture(cleaned, weights).select("source", "doc_id", "copy_idx")
+    mixed = spark.read.parquet(str(tmp_path / "m")).select(
+        "source", "doc_id", "copy_idx"
+    )
+    assert mixed.count() == rep["mixed"]["rows"] == expect.count()
+    assert expect.exceptAll(mixed).isEmpty() and mixed.exceptAll(expect).isEmpty()

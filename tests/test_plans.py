@@ -253,3 +253,30 @@ def test_new_r6_rows_have_scale_safe_plans(spark):
     assert "CartesianProduct" not in plan
     # the only nested loop is the broadcast of the 1-row corpus total
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_mixture_materialization_plans(spark):
+    # apply_mixture must be map-only: broadcast hash join on the weight
+    # map + explode, no shuffle exchange anywhere (the whole mix
+    # materializes inside the input scan's partitioning at 100 TB).
+    from illumio_spark.operators.curation import apply_mixture, select_token_budget
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(apply_mixture(docs, {"src0": 2.0, "src1": 0.5}))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "BroadcastExchange" in line, f"unexpected shuffle: {line}"
+
+    # select_token_budget: exactly one shuffle (the per-source window),
+    # scan pruned to the columns the budget math uses
+    plan = _plan(select_token_budget(docs, 300))
+    shuffles = [
+        l for l in plan.splitlines()
+        if "Exchange" in l and "BroadcastExchange" not in l
+    ]
+    assert len(shuffles) == 1, shuffles
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read_schema and "lang" not in read_schema
