@@ -26,8 +26,11 @@ SF_SMOKE = "/root/testdata/sf0.001"
 DRIVER_WINDOW = 50
 PRIORITY = [
     # late-r6 rotations: corpus-assembly operators cross the driver gate
-    # (out: td_media_sniff, td_quality_score — stable since r2/r3, now in
+    # (out: td_media_sniff, td_quality_score, td_ngram_jaccard,
+    # set_except_events — stable since r2/r3, now in
     # tests/test_retired_queries.py)
+    "td_apply_mixture",  # deterministic mixture materialization (new r6)
+    "td_token_budget",  # greedy per-source fill-until-full (new r6)
     "td_mixture_weights",  # data-mixing weights vs normalized targets (new r6)
     "td_pack_chunks",  # concat-and-chunk packing coordinates (new r6)
     # r6 rotations: the last two pytest-only operators cross the driver gate,
@@ -54,7 +57,6 @@ PRIORITY = [
     "p3_audit_projection",
     "p4_nested_extraction",
     "p7b_real_map_fold",
-    "set_except_events",
     "td_sessionize",
     "a2b_rollup_delta",
 ]

@@ -293,14 +293,17 @@ def set_intersect_users(spark, sf_dir):
     )
 
 
-@q(
-    "set_except_events",
-    """
+# set_except_events was driver-green r2-r6 with unchanged code (a direct
+# DataFrame.subtract, EXCEPT-distinct semantics); rotated out late-r6 for
+# the mixture-materialization rows (td_apply_mixture, td_token_budget).
+# Still oracle-checked every pytest run via tests/test_retired_queries.py.
+SET_EXCEPT_SQL = """
     SELECT event_id FROM events WHERE value > 480
     EXCEPT
     SELECT event_id FROM events WHERE event_type = 'error'
-    """,
-)
+    """
+
+
 def set_except_events(spark, sf_dir):
     # high-value events that are not error-class (EXCEPT-distinct semantics)
     ev = load(spark, sf_dir, "events")

@@ -144,9 +144,12 @@ def td_minhash_lsh_pairs(spark, sf_dir):
     return D.minhash_lsh_pairs(corpus, hash_fn="md5").orderBy("id_a", "id_b")
 
 
-@q(
-    "td_ngram_jaccard",
-    f"""
+# td_ngram_jaccard was driver-green r3-r6 with unchanged code (it is the
+# exact small-SF ground-truth validator for the LSH estimators, not a scale
+# path); rotated out late-r6 for the mixture-materialization rows
+# (td_apply_mixture, td_token_budget). Still oracle-checked every pytest
+# run via tests/test_retired_queries.py.
+NGRAM_JACCARD_SQL = f"""
     WITH corpus AS ({_NEARDUP_SQL_CORPUS}),
     sh AS (
         SELECT doc_id, UNNEST(list_distinct(list_transform(
@@ -169,8 +172,9 @@ def td_minhash_lsh_pairs(spark, sf_dir):
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
-    """,
-)
+    """
+
+
 def td_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(_neardup_corpus(spark, sf_dir), threshold=0.5)
 
@@ -1763,3 +1767,82 @@ def td_pack_chunks(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return pack_chunks(docs, 64)
+
+
+# Weights cycle the four regimes apply_mixture distinguishes: drop (0),
+# deterministic downsample (0.75), one epoch + residual half (1.5), and
+# two epochs + residual quarter (2.25).
+_APPLY_MIX_WEIGHTS = {f"src{i}": (i % 4) * 0.75 for i in range(20)}
+
+
+def _apply_mixture_sql() -> str:
+    vals = ", ".join(
+        f"('{k}', CAST('{v!r}' AS DOUBLE))"
+        for k, v in sorted(_APPLY_MIX_WEIGHTS.items())
+    )
+    return f"""
+    WITH d AS (
+        SELECT source, doc_id,
+               CAST(concat('0x', substr(md5(source || ':' || doc_id), 1, 8))
+                    AS BIGINT) / 4294967296.0 AS frac
+        FROM documents
+    ),
+    j AS (
+        SELECT d.*, COALESCE(t.w, 0.0) AS w
+        FROM d LEFT JOIN (VALUES {vals}) t(source, w) USING (source)
+    ),
+    n AS (
+        SELECT source, doc_id,
+               CAST(FLOOR(w) + CASE WHEN frac < w - FLOOR(w) THEN 1 ELSE 0 END
+                    AS BIGINT) AS n_copies
+        FROM j
+    )
+    SELECT source, doc_id, unnest(generate_series(0, n_copies - 1)) AS copy_idx
+    FROM n WHERE n_copies > 0
+    """
+
+
+@q("td_apply_mixture", _apply_mixture_sql())
+def td_apply_mixture(spark, sf_dir):
+    """Mixture materialization: each doc repeated floor(w) times plus an
+    md5-hash-fraction residual copy — the Pile/Dolma epoch multiplier
+    made exact and RNG-free, so DuckDB replays the selection
+    bit-for-bit. Map-side broadcast + explode, zero shuffle
+    (plan-asserted in tests/test_plans.py); all-integer output."""
+    from illumio_spark.operators.curation import apply_mixture
+
+    docs = load(spark, sf_dir, "documents")
+    return apply_mixture(docs, _APPLY_MIX_WEIGHTS).select(
+        "source", "doc_id", "copy_idx"
+    )
+
+
+_TOKEN_BUDGET_SQL = """
+    WITH d AS (
+        SELECT source, doc_id,
+               CAST(len(string_split_regex(TRIM(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    o AS (
+        SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+                     PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_before
+        FROM d
+    )
+    SELECT source, doc_id, n_tokens, cum_before FROM o WHERE cum_before < 300
+"""
+
+
+@q("td_token_budget", _TOKEN_BUDGET_SQL)
+def td_token_budget(spark, sf_dir):
+    """Greedy per-source fill-until-full selection under a 300-token
+    budget: a doc is kept iff its stratum's running total BEFORE it is
+    under budget, so the straddling doc is included (overshoot ≤ one
+    doc). One window prefix scan per stratum + a row-local filter —
+    a single source-key shuffle at 100 TB; all-integer output."""
+    from illumio_spark.operators.curation import select_token_budget
+
+    docs = load(spark, sf_dir, "documents")
+    return select_token_budget(docs, 300)

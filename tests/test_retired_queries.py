@@ -160,3 +160,18 @@ def test_td_media_sniff_matches_oracle(spark):
     from illumio_spark.queries.catalog_td import MEDIA_SNIFF_SQL, td_media_sniff
 
     _compare(td_media_sniff(spark, SF), MEDIA_SNIFF_SQL)
+
+
+# --- rotated out late-r6 for the mixture-materialization rows --------------
+
+
+def test_td_ngram_jaccard_matches_oracle(spark):
+    from illumio_spark.queries.catalog_td import NGRAM_JACCARD_SQL, td_ngram_jaccard
+
+    _compare(td_ngram_jaccard(spark, SF), NGRAM_JACCARD_SQL)
+
+
+def test_set_except_events_matches_oracle(spark):
+    from illumio_spark.queries.catalog_ext import SET_EXCEPT_SQL, set_except_events
+
+    _compare(set_except_events(spark, SF), SET_EXCEPT_SQL)
