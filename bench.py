@@ -57,6 +57,8 @@ HEADLINE = [
     "td_verbatim_spans",
     "td_mixture_weights",
     "td_pack_chunks",
+    "td_apply_mixture",
+    "td_token_budget",
 ]
 
 
