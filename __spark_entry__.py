@@ -27,8 +27,12 @@ DRIVER_WINDOW = 50
 PRIORITY = [
     # late-r6 rotations: corpus-assembly operators cross the driver gate
     # (out: td_media_sniff, td_quality_score, td_ngram_jaccard,
-    # set_except_events — stable since r2/r3, now in
+    # set_except_events, p3_audit_projection, a3_report,
+    # a8_running_max_merge — stable since r2/r3, now in
     # tests/test_retired_queries.py)
+    "td_chunk_documents",  # sliding-window chunker w/ overlap (new r6)
+    "td_top_frac",  # per-stratum quantile-threshold selection (new r6)
+    "td_shuffle_shards",  # deterministic training-order shuffle (new r6)
     "td_apply_mixture",  # deterministic mixture materialization (new r6)
     "td_token_budget",  # greedy per-source fill-until-full (new r6)
     "td_mixture_weights",  # data-mixing weights vs normalized targets (new r6)
@@ -54,7 +58,6 @@ PRIORITY = [
     "td_hash_embed_pairs",  # raw text → hashing_embed → LSH lineage (r4)
     "td_decontaminate",  # 13-gram test-set decontamination (r4)
     "td_ann_ivf_topk",  # IVF cell-join ANN, integer-exact oracle (r4)
-    "p3_audit_projection",
     "p4_nested_extraction",
     "p7b_real_map_fold",
     "td_sessionize",

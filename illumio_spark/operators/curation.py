@@ -251,3 +251,130 @@ def select_token_budget(
         .filter(F.col("cum_before") < budget)
         .select(source_col, id_col, "n_tokens", "cum_before")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking (pretraining / RAG chunker): cut
+    each doc's whitespace-token stream into windows of `chunk_tokens`
+    tokens advancing by stride = chunk_tokens - overlap, so consecutive
+    chunks share `overlap` tokens. Returns one row per chunk:
+      (id, chunk_idx, start_tok, n_chunk_tokens, chunk_text)
+    A doc with n_tokens <= chunk_tokens yields exactly one chunk;
+    otherwise n_chunks = ceil((n_tokens - chunk_tokens) / stride) + 1 —
+    every chunk starts inside the doc and the last one always reaches
+    the tail (it may be shorter than chunk_tokens; no chunk is ever a
+    strict prefix of its predecessor). NULL text yields zero chunks
+    (sequence(NULL) explodes to nothing); empty text tokenizes to the
+    one-element [''] array both engines produce and yields one
+    one-token chunk — degenerate but cross-engine-stable.
+
+    Tokenizer is the engine-wide split(trim(text), '\\s+') (same as
+    token_count), so chunk token coordinates line up with pack_chunks /
+    select_token_budget offsets.
+
+    Scale: map-only — tokenize, a per-row sequence explode, and an
+    array slice, zero shuffle (plan-asserted); the fan-out is bounded by
+    n_tokens / stride per doc, co-partitioned with the input scan.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.col("__n")
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1).cast("bigint")).otherwise(
+        F.floor((n - chunk_tokens + stride - 1) / stride).cast("bigint") + 1
+    )
+    start = (F.col("chunk_idx") * stride).cast("bigint")
+    chunk_len = F.least(F.lit(chunk_tokens).cast("bigint"), F.col("__n") - start)
+    return (
+        df.select(id_col, toks.alias("__toks"), F.size(toks).cast("bigint").alias("__n"))
+        .withColumn(
+            "chunk_idx",
+            F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            start.alias("start_tok"),
+            chunk_len.alias("n_chunk_tokens"),
+            F.array_join(
+                F.slice(F.col("__toks"), start + 1, chunk_len), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def select_top_frac(
+    df: DataFrame,
+    frac: float,
+    score_col: str,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    descending: bool = True,
+) -> DataFrame:
+    """Quantile-threshold quality selection: keep the top `frac` of each
+    stratum's docs by score (the FineWeb/DCLM move — classifier or
+    heuristic scores exist, the corpus keeps only the best slice,
+    thresholded per stratum so one high-scoring source can't crowd out
+    the rest). Exact-count contract: rank by (score desc, id asc) — the
+    id tiebreaker makes the order total and the selection deterministic
+    — and keep rank <= ceil(frac * n_stratum), so every non-empty
+    stratum keeps >= 1 doc. Returns (stratum, id, score, rank,
+    n_stratum).
+
+    Scale: ONE shuffle on the stratum key feeding both window functions
+    (rank and stratum size share the partitioning); no global sort, no
+    driver-side threshold computation. At 100 TB with few strata the
+    per-stratum sort dominates — swap in approx_percentile to pre-filter
+    to ~frac before the exact rank if strata are huge.
+    """
+    order = F.desc(score_col) if descending else F.asc(score_col)
+    w_rank = Window.partitionBy(stratum_col).orderBy(order, F.asc(id_col))
+    w_all = Window.partitionBy(stratum_col)
+    keep = F.ceil(F.lit(float(frac)) * F.col("n_stratum")).cast("bigint")
+    return (
+        df.select(stratum_col, id_col, score_col)
+        .withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .withColumn("n_stratum", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("rank") <= keep)
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    key_cols: tuple[str, ...] = ("source", "doc_id"),
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic training-order shuffle: tag every row with
+    (shard, sort_key) where shard = pmod(hash(key), n_shards) and
+    sort_key is the hash itself — a seedless pseudo-random permutation
+    of the corpus into n_shards shards with a total within-shard order,
+    reproducible run-to-run and engine-to-engine (hash_fn='md5': first
+    15 md5 hex digits as a 60-bit int, bit-reproducible in DuckDB;
+    engine default xxhash64 is the cheap JVM path). Include copy_idx in
+    key_cols when sharding an apply_mixture output so repeated epochs of
+    a doc land in different shards.
+
+    Materialize with
+      out.repartition(n_shards, "shard").sortWithinPartitions("shard",
+      "sort_key").write.partitionBy("shard")...
+    — one shuffle at write time; this operator itself is map-only
+    (plan-asserted zero shuffle), so the tag can ride an existing scan.
+    """
+    key = F.concat_ws(":", *[F.col(c) for c in key_cols])
+    if hash_fn == "md5":
+        h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+    elif hash_fn == "xxhash64":
+        h = F.xxhash64(key)
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
+    return df.withColumn("sort_key", h).withColumn(
+        "shard", F.pmod(F.col("sort_key"), F.lit(n_shards)).cast("int")
+    )

@@ -12,9 +12,10 @@ from pyspark.sql import Window, functions as F
 from illumio_spark.queries.catalog import load, q
 
 
-@q(
-    "a8_running_max_merge",
-    """
+# a8_running_max_merge was driver-green r2-r6 with unchanged code; rotated
+# out late-r6 for the chunk/top-frac/shard rows. Still oracle-checked every
+# pytest run via tests/test_retired_queries.py.
+A8_SQL = """
     WITH a AS (SELECT event_type, MAX(event_id) AS max_id, CAST(COUNT(*) AS BIGINT) AS n
                FROM events WHERE ts <  TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1),
          b AS (SELECT event_type, MAX(event_id) AS max_id, CAST(COUNT(*) AS BIGINT) AS n
@@ -23,8 +24,9 @@ from illumio_spark.queries.catalog import load, q
            GREATEST(COALESCE(a.max_id, -1), COALESCE(b.max_id, -1)) AS highest_id,
            COALESCE(a.n, 0) + COALESCE(b.n, 0) AS total
     FROM a FULL OUTER JOIN b ON a.event_type = b.event_type
-    """,
-)
+    """
+
+
 def a8_running_max_merge(spark, sf_dir):
     # reference: INSERT OR REPLACE history keeping max totals (db_stats.py:40-52)
     # → MERGE-style full-outer combine of two run snapshots
@@ -124,15 +126,18 @@ def s15_head_sample(spark, sf_dir):
 # catalog.py — per-class, epoch-aligned interval rates in one groupBy)
 
 
-@q(
-    "p3_audit_projection",
-    """
+# p3_audit_projection was driver-green r2-r6 with unchanged code; rotated
+# out late-r6 for the chunk/top-frac/shard rows (p1/p4/p7b keep the parse
+# family in the window). Still oracle-checked every pytest run via
+# tests/test_retired_queries.py.
+P3_SQL = """
     SELECT event_id AS id, event_type AS vmid,
            strftime(ts, '%Y-%m-%dT%H:%M:%S') AS time,
            CAST(value AS VARCHAR) AS amount
     FROM events WHERE event_id < 2000
-    """,
-)
+    """
+
+
 def p3_audit_projection(spark, sf_dir):
     # reference: audit rename-map w/ stringified numerics
     # (log_processor.py:399-409 P3 + :433 stringification)

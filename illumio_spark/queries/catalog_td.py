@@ -1846,3 +1846,95 @@ def td_token_budget(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return select_token_budget(docs, 300)
+
+
+_CHUNK_SQL = """
+    WITH d AS (
+        SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ),
+    n AS (
+        SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+               CASE WHEN len(toks) <= 16 THEN 1
+                    ELSE (len(toks) - 16 + 11) // 12 + 1 END AS n_chunks
+        FROM d
+    ),
+    e AS (
+        SELECT doc_id, toks, n_tokens,
+               unnest(generate_series(0, n_chunks - 1)) AS ci
+        FROM n
+    )
+    SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+           CAST(ci * 12 AS BIGINT) AS start_tok,
+           CAST(LEAST(16, n_tokens - ci * 12) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(
+               toks[ci * 12 + 1 : ci * 12 + LEAST(16, n_tokens - ci * 12)], ' '
+           ) AS chunk_text
+    FROM e
+"""
+
+
+@q("td_chunk_documents", _CHUNK_SQL)
+def td_chunk_documents(spark, sf_dir):
+    """Sliding-window chunker (16-token windows, overlap 4, stride 12 —
+    small so docs multi-chunk at test SF): token coordinates AND the
+    reassembled chunk text are compared, so the slice math is
+    byte-evidenced. Map-only, zero shuffle (plan-asserted)."""
+    from illumio_spark.operators.curation import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_documents(docs, 16, overlap=4)
+
+
+_TOP_FRAC_SQL = """
+    WITH r AS (
+        SELECT source, doc_id, n_chars,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ) AS BIGINT) AS rank,
+               CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_stratum
+        FROM documents
+    )
+    SELECT * FROM r WHERE rank <= CEIL(CAST('0.3' AS DOUBLE) * n_stratum)
+"""
+
+
+@q("td_top_frac", _TOP_FRAC_SQL)
+def td_top_frac(spark, sf_dir):
+    """Quantile-threshold selection: keep the top 30% of each source by
+    n_chars, rank made total with the id tiebreaker; ceil(frac * n) is
+    the same IEEE double on both engines so the cut is exact. One
+    stratum-key shuffle feeding both windows (plan-asserted)."""
+    from illumio_spark.operators.curation import select_top_frac
+
+    docs = load(spark, sf_dir, "documents")
+    return select_top_frac(docs, 0.3, "n_chars")
+
+
+_SHUFFLE_SHARDS_SQL = """
+    WITH h AS (
+        SELECT source, doc_id,
+               CAST(concat('0x', substr(md5(source || ':' || doc_id), 1, 15))
+                    AS BIGINT) AS sort_key
+        FROM documents
+    )
+    SELECT source, doc_id, sort_key,
+           CAST(sort_key % 8 AS INTEGER) AS shard
+    FROM h
+"""
+
+
+@q("td_shuffle_shards", _SHUFFLE_SHARDS_SQL)
+def td_shuffle_shards(spark, sf_dir):
+    """Deterministic training-order shuffle: md5-mode 60-bit hash as the
+    (shard, within-shard sort) key, bit-reproducible in DuckDB (positive
+    hash, so % == pmod). Engine default is xxhash64 (same plan, cheap
+    JVM hash); the tagging itself is map-only, zero shuffle
+    (plan-asserted) — the one shuffle happens at materialization time
+    via repartition(n_shards, 'shard')."""
+    from illumio_spark.operators.curation import shuffle_shards
+
+    docs = load(spark, sf_dir, "documents")
+    return shuffle_shards(docs, 8, hash_fn="md5").select(
+        "source", "doc_id", "sort_key", "shard"
+    )

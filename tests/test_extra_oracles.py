@@ -624,3 +624,116 @@ def test_text_pipeline_budget_and_mix_output(spark, tmp_path):
     )
     assert mixed.count() == rep["mixed"]["rows"] == expect.count()
     assert expect.exceptAll(mixed).isEmpty() and mixed.exceptAll(expect).isEmpty()
+
+
+CHUNK_SQL = """
+    WITH d AS (
+        SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS toks
+        FROM read_parquet('{sf}/documents.parquet') WHERE text IS NOT NULL
+    ),
+    n AS (
+        SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+               CASE WHEN len(toks) <= 16 THEN 1
+                    ELSE (len(toks) - 16 + 11) // 12 + 1 END AS n_chunks
+        FROM d
+    ),
+    e AS (
+        SELECT doc_id, toks, n_tokens,
+               unnest(generate_series(0, n_chunks - 1)) AS ci
+        FROM n
+    )
+    SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+           CAST(ci * 12 AS BIGINT) AS start_tok,
+           CAST(LEAST(16, n_tokens - ci * 12) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(
+               toks[ci * 12 + 1 : ci * 12 + LEAST(16, n_tokens - ci * 12)], ' '
+           ) AS chunk_text
+    FROM e
+"""
+
+
+def test_chunk_documents_matches_oracle(spark):
+    """Sliding-window chunker (16-token windows, 4-token overlap, stride
+    12) vs a DuckDB replay of the same tokenize → chunk-count → slice
+    math, including the reassembled chunk text."""
+    from illumio_spark.operators.curation import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    _compare(chunk_documents(docs, 16, overlap=4), CHUNK_SQL)
+
+
+def test_chunk_documents_exact_coordinates(spark):
+    """Known 26-token doc, chunk 8 / overlap 3 (stride 5): starts are
+    0,5,10,15,20, all full except the 6-token tail, and each chunk's
+    text is exactly its token slice."""
+    from illumio_spark.operators.curation import chunk_documents
+
+    words = [f"t{i}" for i in range(26)]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id int, text string")
+    rows = chunk_documents(df, 8, overlap=3).orderBy("chunk_idx").collect()
+    assert [(r.chunk_idx, r.start_tok, r.n_chunk_tokens) for r in rows] == [
+        (0, 0, 8), (1, 5, 8), (2, 10, 8), (3, 15, 8), (4, 20, 6)
+    ]
+    for r in rows:
+        assert r.chunk_text == " ".join(words[r.start_tok:r.start_tok + r.n_chunk_tokens])
+    # NULL text yields no chunks; single-token doc yields one chunk
+    edge = spark.createDataFrame(
+        [(2, None), (3, "solo")], "doc_id int, text string"
+    )
+    out = chunk_documents(edge, 8, overlap=3).collect()
+    assert [(r.doc_id, r.chunk_idx, r.n_chunk_tokens) for r in out] == [(3, 0, 1)]
+
+
+TOP_FRAC_SQL = """
+    WITH r AS (
+        SELECT source, doc_id, n_chars,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ) AS BIGINT) AS rank,
+               CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_stratum
+        FROM read_parquet('{sf}/documents.parquet')
+    )
+    SELECT * FROM r WHERE rank <= CEIL(CAST('0.3' AS DOUBLE) * n_stratum)
+"""
+
+
+def test_select_top_frac_matches_oracle(spark):
+    """Keep the top 30% of each source by n_chars (id tiebreaker);
+    ceil(frac * n) is the same IEEE double on both engines."""
+    from illumio_spark.operators.curation import select_top_frac
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    _compare(select_top_frac(docs, 0.3, "n_chars"), TOP_FRAC_SQL)
+
+
+SHARD_SQL = """
+    WITH h AS (
+        SELECT source, doc_id,
+               CAST(concat('0x', substr(md5(source || ':' || doc_id), 1, 15))
+                    AS BIGINT) AS sort_key
+        FROM read_parquet('{sf}/documents.parquet')
+    )
+    SELECT source, doc_id, sort_key,
+           CAST(sort_key % 8 AS INTEGER) AS shard
+    FROM h
+"""
+
+
+def test_shuffle_shards_matches_oracle(spark):
+    """md5-mode shard assignment is bit-reproducible in DuckDB (60-bit
+    positive hash, so % == pmod); xxhash64 engine mode yields the same
+    shard-count histogram shape (all 8 shards populated, total
+    preserved)."""
+    from pyspark.sql import functions as F
+
+    from illumio_spark.operators.curation import shuffle_shards
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = shuffle_shards(docs, 8, hash_fn="md5").select(
+        "source", "doc_id", "sort_key", "shard"
+    )
+    _compare(out, SHARD_SQL)
+
+    fast = shuffle_shards(docs, 8).select("shard", "sort_key")
+    counts = {r.shard: r.n for r in fast.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == set(range(8)) and sum(counts.values()) == docs.count()

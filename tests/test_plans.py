@@ -280,3 +280,29 @@ def test_mixture_materialization_plans(spark):
     assert len(shuffles) == 1, shuffles
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "text" in read_schema and "lang" not in read_schema
+
+
+def test_chunk_shard_topfrac_plans(spark):
+    # chunker and shard tagging are map-only: zero Exchange of any kind —
+    # at 100 TB both ride the input scan's partitioning
+    from illumio_spark.operators.curation import (
+        chunk_documents,
+        select_top_frac,
+        shuffle_shards,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for df in (chunk_documents(docs, 512, overlap=64), shuffle_shards(docs, 128)):
+        plan = _plan(df)
+        assert "Exchange" not in plan, plan
+
+    # top-frac selection: exactly one shuffle (the stratum key) feeding
+    # BOTH window functions, scan pruned to the three columns it needs
+    plan = _plan(select_top_frac(docs, 0.3, "n_chars"))
+    shuffles = [
+        l for l in plan.splitlines()
+        if "Exchange" in l and "BroadcastExchange" not in l
+    ]
+    assert len(shuffles) == 1, shuffles
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "n_chars" in read_schema and "text" not in read_schema

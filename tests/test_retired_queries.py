@@ -175,3 +175,21 @@ def test_set_except_events_matches_oracle(spark):
     from illumio_spark.queries.catalog_ext import SET_EXCEPT_SQL, set_except_events
 
     _compare(set_except_events(spark, SF), SET_EXCEPT_SQL)
+
+
+def test_p3_audit_projection_matches_oracle(spark):
+    from illumio_spark.queries.catalog_ext import P3_SQL, p3_audit_projection
+
+    _compare(p3_audit_projection(spark, SF), P3_SQL)
+
+
+def test_a8_running_max_merge_matches_oracle(spark):
+    from illumio_spark.queries.catalog_ext import A8_SQL, a8_running_max_merge
+
+    _compare(a8_running_max_merge(spark, SF), A8_SQL)
+
+
+def test_a3_report_matches_oracle(spark):
+    from illumio_spark.queries.catalog_pipeline import A3_SQL, a3_report
+
+    _compare(a3_report(spark, SF), A3_SQL)
