@@ -43,6 +43,11 @@ count action re-executes stages 1..N-1, O(stages²) total work at scale):
                          (apply_mixture, optionally capped --max-repeat)
                          and write the mixed corpus alongside the
                          cleaned one
+  9. shard shuffle     — --shards N: write the mixed corpus as N
+                         deterministically shuffled shard dirs
+                         (shuffle_shards tag → repartition by shard →
+                         sortWithinPartitions), the training-order
+                         layout a data loader streams sequentially
 """
 
 from __future__ import annotations
@@ -208,13 +213,35 @@ def run(spark, args) -> dict:
             for m in report["mixture"]
         }
         mixed = apply_mixture(out, weights)
-        mixed.write.mode("overwrite").parquet(mix_output)
+        # 9. training-order shard shuffle (optional): tag each mixed row
+        #    with a deterministic (shard, sort_key) and write one sorted
+        #    shard per partition dir — the seedless global shuffle a
+        #    trainer reads sequentially. copy_idx rides the hash key so
+        #    repeated epochs of a doc scatter across shards.
+        shards = getattr(args, "shards", 0) or 0
+        if shards:
+            from illumio_spark.operators.curation import shuffle_shards
+
+            tagged = shuffle_shards(
+                mixed, shards, key_cols=("source", "doc_id", "copy_idx")
+            )
+            (
+                tagged.repartition(shards, "shard")
+                .sortWithinPartitions("shard", "sort_key")
+                .write.mode("overwrite")
+                .partitionBy("shard")
+                .parquet(mix_output)
+            )
+        else:
+            mixed.write.mode("overwrite").parquet(mix_output)
         mixed_out = spark.read.parquet(mix_output)
         mr = mixed_out.agg(
             F.count(F.lit(1)).alias("rows"),
             F.sum(TX.token_count(F.col("text")).cast("bigint")).alias("tokens"),
         ).first()
         report["mixed"] = {"rows": int(mr.rows), "tokens": int(mr.tokens or 0)}
+        if shards:
+            report["mixed"]["shards"] = shards
 
     return report
 
@@ -252,6 +279,9 @@ def main() -> None:
                          "repeat/downsample per source) to this parquet path")
     ap.add_argument("--max-repeat", type=float, default=0,
                     help="cap any source's mixture repeat factor (0 = no cap)")
+    ap.add_argument("--shards", type=int, default=0, metavar="N",
+                    help="write --mix-output as N deterministically shuffled "
+                         "shard dirs, each sorted by the shuffle key (0 = off)")
     ap.add_argument("--report", help="write the attrition report JSON here")
     args = ap.parse_args()
 

@@ -626,6 +626,46 @@ def test_text_pipeline_budget_and_mix_output(spark, tmp_path):
     assert expect.exceptAll(mixed).isEmpty() and mixed.exceptAll(expect).isEmpty()
 
 
+def test_text_pipeline_sharded_mix_output(spark, tmp_path):
+    """--shards N writes shard=0..N-1 dirs whose union is exactly the
+    mixture; every row's shard is pmod(xxhash64(source:doc_id:copy_idx),
+    N); each written part file is internally sorted by sort_key (the
+    training-order contract a sequential loader relies on)."""
+    import argparse
+    import glob
+    import json as _json
+    import sys
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.run_text_pipeline import run
+
+    targets = {"src0": 0.5, "src1": 0.5}
+    args = argparse.Namespace(
+        input=f"{SF}/documents.parquet", output=str(tmp_path / "c"),
+        eval=None, ngram=13, near_dups=False, quality="off",
+        min_sentences=0, min_alpha_frac=0.8, cut_spans=0,
+        mix_targets=_json.dumps(targets), pack_len=0,
+        token_budget=0, mix_output=str(tmp_path / "m"), max_repeat=3.0,
+        shards=4,
+    )
+    rep = run(spark, args)
+    assert rep["mixed"]["shards"] == 4
+    mixed = spark.read.parquet(str(tmp_path / "m"))
+    assert mixed.count() == rep["mixed"]["rows"]
+    shards = sorted(r.shard for r in mixed.select("shard").distinct().collect())
+    assert shards == [0, 1, 2, 3]
+    exp = F.pmod(
+        F.xxhash64(F.concat_ws(":", "source", "doc_id", "copy_idx")), F.lit(4)
+    ).cast("int")
+    assert mixed.filter(F.col("shard") != exp).count() == 0
+    for part in glob.glob(str(tmp_path / "m" / "shard=*" / "*.parquet")):
+        keys = pq.read_table(part, columns=["sort_key"])["sort_key"].to_pylist()
+        assert keys == sorted(keys), f"unsorted shard file {part}"
+
+
 CHUNK_SQL = """
     WITH d AS (
         SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS toks
