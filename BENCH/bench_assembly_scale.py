@@ -1,11 +1,15 @@
 """Corpus-assembly operators off the fixed-overhead floor: pack_chunks
-(per-stratum window cumsum) and mixture_weights (groupBy + 1-row
-broadcast) at 50.8 k vs 508 k documents, same corpus constructor as
-BENCH/bench_dedup_scale.py so the arms are comparable across files.
+(per-stratum window cumsum), mixture_weights (groupBy + 1-row
+broadcast), and the late-r6 five — apply_mixture (map-side explode),
+select_token_budget (window prefix scan), chunk_documents (map-only
+explode+slice), select_top_frac (two windows, one shuffle),
+shuffle_shards (map-only hash tag) — at 50.8 k vs 508 k documents,
+same corpus constructor as BENCH/bench_dedup_scale.py so the arms are
+comparable across files.
 
-Both should be ~linear: packing shuffles once on the stratum key and
-prefix-scans each stratum; mixture is a map-side-combined aggregate.
-Anything super-linear gets an attribution note in BENCH/NOTES.md.
+All should be ~linear: nothing here shuffles more than once and the
+map-only ops not at all. Anything super-linear gets an attribution
+note in BENCH/NOTES.md.
 
 Usage: python BENCH/bench_assembly_scale.py   (one session, both arms).
 Writes BENCH/assembly_scale.json.
@@ -62,6 +66,44 @@ def run_arm(spark, mult: int) -> dict:
     ).collect()
     out["mixture_weights_s"] = round(time.time() - t0, 3)
     out["mixture_rows"] = len(mix)
+
+    from illumio_spark.operators.curation import (
+        apply_mixture,
+        chunk_documents,
+        select_token_budget,
+        select_top_frac,
+        shuffle_shards,
+    )
+
+    weights = {f"src{i}": (i % 4) * 0.75 for i in range(N_STRATA)}
+    t0 = time.time()
+    out["apply_mixture_rows"] = apply_mixture(corpus, weights).count()
+    out["apply_mixture_s"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    out["token_budget_rows"] = select_token_budget(corpus, 50_000).count()
+    out["token_budget_s"] = round(time.time() - t0, 3)
+
+    # 16-token windows so the synthetic ~56-token docs genuinely
+    # multi-chunk (~4-5x row fan-out) — at window 256 every doc is a
+    # single chunk and the explode path goes unexercised
+    t0 = time.time()
+    out["chunk_rows"] = chunk_documents(corpus, 16, overlap=4).count()
+    out["chunk_s"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    scored = corpus.withColumn("n_chars", F.length("text"))
+    out["top_frac_rows"] = select_top_frac(scored, 0.3, "n_chars").count()
+    out["top_frac_s"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    sh = shuffle_shards(corpus.select("source", "doc_id"), 1024)
+    r = sh.agg(
+        F.countDistinct("shard").alias("n_shards"),
+        F.max("sort_key").alias("mx"),
+    ).first()
+    out["shuffle_shards_n"] = int(r.n_shards)
+    out["shuffle_shards_s"] = round(time.time() - t0, 3)
     return out
 
 
@@ -79,7 +121,11 @@ def main() -> None:
         "arms": arms,
         "time_ratio": {
             k.removesuffix("_s"): round(b[k] / a[k], 2)
-            for k in ("pack_chunks_s", "pack_stats_s", "mixture_weights_s")
+            for k in (
+                "pack_chunks_s", "pack_stats_s", "mixture_weights_s",
+                "apply_mixture_s", "token_budget_s", "chunk_s",
+                "top_frac_s", "shuffle_shards_s",
+            )
         },
         "docs_ratio": round(b["n_docs"] / a["n_docs"], 2),
     }
