@@ -59,6 +59,9 @@ HEADLINE = [
     "td_pack_chunks",
     "td_apply_mixture",
     "td_token_budget",
+    "td_chunk_documents",
+    "td_top_frac",
+    "td_shuffle_shards",
 ]
 
 
@@ -107,7 +110,17 @@ def bench_overrides() -> dict:
         "td_verbatim_spans": lambda spark, sf_dir: D.verbatim_overlap_spans(
             spark.read.parquet(f"{sf_dir}/documents.parquet"), k=4, hash_fn="xxhash64"
         ),
+        # late r6: shard shuffle on the engine-default hash (registry row
+        # uses the md5 oracle-parity mode)
+        "td_shuffle_shards": _shuffle_shards_fast,
     }
+
+
+def _shuffle_shards_fast(spark, sf_dir):
+    from illumio_spark.operators.curation import shuffle_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return shuffle_shards(docs, 1024).select("source", "doc_id", "sort_key", "shard")
 
 
 def disk_probe_mb_s(size_mb: int = 128) -> float:
