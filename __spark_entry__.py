@@ -28,8 +28,9 @@ PRIORITY = [
     # late-r6 rotations: corpus-assembly operators cross the driver gate
     # (out: td_media_sniff, td_quality_score, td_ngram_jaccard,
     # set_except_events, p3_audit_projection, a3_report,
-    # a8_running_max_merge — stable since r2/r3, now in
-    # tests/test_retired_queries.py)
+    # a8_running_max_merge, a10_s16_rate_monitor — stable since r2/r3,
+    # now in tests/test_retired_queries.py)
+    "td_split_corpus",  # deterministic train/val/test split (new r6)
     "td_chunk_documents",  # sliding-window chunker w/ overlap (new r6)
     "td_top_frac",  # per-stratum quantile-threshold selection (new r6)
     "td_shuffle_shards",  # deterministic training-order shuffle (new r6)

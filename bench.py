@@ -62,6 +62,7 @@ HEADLINE = [
     "td_chunk_documents",
     "td_top_frac",
     "td_shuffle_shards",
+    "td_split_corpus",
 ]
 
 

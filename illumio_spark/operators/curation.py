@@ -155,6 +155,17 @@ def pack_stats(packed: DataFrame, seq_len: int, stratum_col: str | None = "sourc
     )
 
 
+def _md5_frac(key: F.Column) -> F.Column:
+    """First 8 md5 hex digits of `key` as uint32 / 2^32 — a uniform
+    [0, 1) fraction an external engine reproduces bit-for-bit (DuckDB:
+    CAST(concat('0x', substr(md5(k), 1, 8)) AS BIGINT) / 4294967296.0).
+    Runs once per row, so the digest cost is noise next to the scan."""
+    return (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double")
+        / F.lit(4294967296.0)
+    )
+
+
 def apply_mixture(
     df: DataFrame,
     weights: dict[str, float],
@@ -182,16 +193,7 @@ def apply_mixture(
         sorted((k, float(v)) for k, v in weights.items()),
         f"{source_col} string, __w double",
     )
-    frac = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.col(source_col), F.col(id_col))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("double")
-        / F.lit(4294967296.0)
-    )
+    frac = _md5_frac(F.concat_ws(":", F.col(source_col), F.col(id_col)))
     w = F.coalesce(F.col("__w"), F.lit(0.0))
     n_copies = (
         F.floor(w) + (frac < (w - F.floor(w))).cast("bigint")
@@ -378,3 +380,52 @@ def shuffle_shards(
     return df.withColumn("sort_key", h).withColumn(
         "shard", F.pmod(F.col("sort_key"), F.lit(n_shards)).cast("int")
     )
+
+
+def assign_splits(
+    df: DataFrame,
+    fracs: dict[str, float],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: each row gets a
+    `split` label drawn from `fracs` (normalized; insertion order fixes
+    the cumulative bucket boundaries) by its md5 hash fraction — split =
+    the first bucket whose cumulative upper bound exceeds the fraction.
+    Seedless and engine-reproducible, so the same corpus always splits
+    the same way.
+
+    Leakage safety: pass group_col (e.g. the `component` label from
+    dedup.neardup_components) and the hash is computed on the GROUP, so
+    every member of a near-dup cluster lands in the same split — the
+    standard guard against train/test contamination through near
+    duplicates (a doc's paraphrase in train while the doc sits in test).
+    Without group_col the hash key is source:id.
+
+    Scale: map-only — one digest + a constant CASE chain per row, zero
+    shuffle (plan-asserted); group mode assumes the group label column
+    is already joined on (neardup_components output is an id→label
+    relation, one broadcast or shuffle join upstream).
+    """
+    if not fracs:
+        raise ValueError("fracs must be non-empty")
+    tot = sum(fracs.values())
+    names = list(fracs)
+    bounds = []
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fracs[name] / tot
+        bounds.append((name, cum))
+    key = (
+        F.col(group_col).cast("string")
+        if group_col
+        else F.concat_ws(":", F.col(source_col), F.col(id_col))
+    )
+    frac = _md5_frac(key)
+    expr = None
+    for name, upper in bounds:
+        cond = frac < F.lit(upper)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", split)

@@ -399,15 +399,17 @@ def a9_growth_window(spark, sf_dir):
     )
 
 
-@q(
-    "a10_s16_rate_monitor",
-    """
+# a10_s16_rate_monitor was driver-green r3-r6 with unchanged code; rotated
+# out late-r6 for the td_split_corpus row. Still oracle-checked every
+# pytest run via tests/test_retired_queries.py.
+A10_S16_SQL = """
     SELECT event_type, bucket_start, CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(COUNT(*) / 21600.0, 6) AS rows_per_sec
     FROM (SELECT event_type, (epoch(ts)::BIGINT // 21600) * 21600 AS bucket_start FROM events)
     GROUP BY event_type, bucket_start
-    """,
-)
+    """
+
+
 def a10_s16_rate_monitor(spark, sf_dir):
     # reference: per-class MPS gauges (A10/A13, log_processor.py:198-209,
     # s3_analyzer.py:241-247) + the poll-interval file/row rate monitor

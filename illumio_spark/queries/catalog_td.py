@@ -1924,6 +1924,47 @@ _SHUFFLE_SHARDS_SQL = """
 """
 
 
+_SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _split_sql() -> str:
+    # replay assign_splits' cumulative-bound computation with the SAME
+    # Python floats (repr-embedded string→DOUBLE casts), so the CASE
+    # boundaries are bit-identical across engines
+    tot = sum(_SPLIT_FRACS.values())
+    names = list(_SPLIT_FRACS)
+    cases, cum = [], 0.0
+    for name in names[:-1]:
+        cum += _SPLIT_FRACS[name] / tot
+        cases.append(f"WHEN frac < CAST('{cum!r}' AS DOUBLE) THEN '{name}'")
+    chain = " ".join(cases)
+    return f"""
+    WITH d AS (
+        SELECT source, doc_id,
+               CAST(concat('0x', substr(md5(source || ':' || doc_id), 1, 8))
+                    AS BIGINT) / 4294967296.0 AS frac
+        FROM documents
+    )
+    SELECT source, doc_id,
+           CASE {chain} ELSE '{names[-1]}' END AS split
+    FROM d
+    """
+
+
+@q("td_split_corpus", _split_sql())
+def td_split_corpus(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment by md5 hash
+    fraction — seedless, engine-reproducible (DuckDB replays the exact
+    cumulative CASE bounds from the same Python floats). Map-only, zero
+    shuffle. The leakage-safe group mode (hash a near-dup component
+    label so clusters never straddle splits) is pytest-evidenced in
+    tests/test_extra_oracles.py."""
+    from illumio_spark.operators.curation import assign_splits
+
+    docs = load(spark, sf_dir, "documents")
+    return assign_splits(docs, _SPLIT_FRACS).select("source", "doc_id", "split")
+
+
 @q("td_shuffle_shards", _SHUFFLE_SHARDS_SQL)
 def td_shuffle_shards(spark, sf_dir):
     """Deterministic training-order shuffle: md5-mode 60-bit hash as the

@@ -666,6 +666,35 @@ def test_text_pipeline_sharded_mix_output(spark, tmp_path):
         assert keys == sorted(keys), f"unsorted shard file {part}"
 
 
+def test_assign_splits_group_mode_is_leakage_safe(spark):
+    """Group mode hashes the group label, so every member of a near-dup
+    component gets the same split; ungrouped mode scatters the same rows
+    across splits. Fractions approximately honored on 2,000 groups."""
+    from pyspark.sql import functions as F
+
+    from illumio_spark.operators.curation import assign_splits
+
+    rows = [(i, f"src{i % 3}", i // 4) for i in range(8000)]  # 4-doc groups
+    df = spark.createDataFrame(rows, "doc_id long, source string, component long")
+    out = assign_splits(
+        df, {"train": 0.8, "val": 0.1, "test": 0.1}, group_col="component"
+    )
+    per_group = out.groupBy("component").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    assert per_group.filter("n_splits != 1").count() == 0
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.7 < counts["train"] / 8000 < 0.9
+    # ungrouped: the same 4-doc id-blocks straddle splits somewhere
+    loose = assign_splits(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    straddled = (
+        loose.groupBy("component").agg(F.countDistinct("split").alias("n_splits"))
+        .filter("n_splits > 1").count()
+    )
+    assert straddled > 0
+
+
 CHUNK_SQL = """
     WITH d AS (
         SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS toks

@@ -292,7 +292,13 @@ def test_chunk_shard_topfrac_plans(spark):
     )
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    for df in (chunk_documents(docs, 512, overlap=64), shuffle_shards(docs, 128)):
+    from illumio_spark.operators.curation import assign_splits
+
+    for df in (
+        chunk_documents(docs, 512, overlap=64),
+        shuffle_shards(docs, 128),
+        assign_splits(docs, {"train": 0.9, "val": 0.1}),
+    ):
         plan = _plan(df)
         assert "Exchange" not in plan, plan
 

@@ -193,3 +193,9 @@ def test_a3_report_matches_oracle(spark):
     from illumio_spark.queries.catalog_pipeline import A3_SQL, a3_report
 
     _compare(a3_report(spark, SF), A3_SQL)
+
+
+def test_a10_s16_rate_monitor_matches_oracle(spark):
+    from illumio_spark.queries.catalog import A10_S16_SQL, a10_s16_rate_monitor
+
+    _compare(a10_s16_rate_monitor(spark, SF), A10_S16_SQL)
