@@ -35,6 +35,9 @@ count action re-executes stages 1..N-1, O(stages²) total work at scale):
                          until each source's running token total reaches
                          N (fill-until-full; straddling doc kept)
   6. PII scrub         — emails/SSNs/IPv4s/phones redacted in place
+  6b. split tag        — --splits JSON: deterministic train/val/test
+                         label on every written row (assign_splits md5
+                         hash fraction; map-only)
   7. assembly report   — --mix-targets / --pack-len: per-source mixture
                          weights and packing efficiency of the CLEANED
                          corpus (report-only, rows untouched)
@@ -154,6 +157,17 @@ def run(spark, args) -> dict:
     report["pii_hits"] = {k: int(hits[k] or 0) for k in hits.asDict()}
     cleaned = cur.withColumn("text", TX.scrub_pii(F.col("text")))
 
+    # 6b. split tag (optional): deterministic train/val/test label on the
+    #     written corpus — md5 hash fraction, map-only, rides the write
+    splits = getattr(args, "splits", None)
+    if splits:
+        from illumio_spark.operators.curation import assign_splits
+
+        fr = json.loads(splits) if isinstance(splits, str) else splits
+        if "source" not in cur.columns:
+            raise SystemExit("--splits needs a source column")
+        cleaned = assign_splits(cleaned, fr)
+
     t0 = time.time()
     cleaned.write.mode("overwrite").parquet(args.output)
     report["write_s"] = round(time.time() - t0, 3)
@@ -170,6 +184,11 @@ def run(spark, args) -> dict:
         "total": int(r.total_tokens or 0),
         "p50": float(r.p50 or 0), "p99": float(r.p99 or 0),
     }
+    if splits:
+        report["splits"] = {
+            r.split: int(r.n)
+            for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
 
     # 7. corpus-assembly report (optional): what the CLEANED corpus looks
     #    like as a training mixture — per-source token shares vs targets,
@@ -279,6 +298,10 @@ def main() -> None:
                          "repeat/downsample per source) to this parquet path")
     ap.add_argument("--max-repeat", type=float, default=0,
                     help="cap any source's mixture repeat factor (0 = no cap)")
+    ap.add_argument("--splits", metavar="JSON",
+                    help='deterministic split fractions, e.g. '
+                         '\'{"train": 0.9, "val": 0.05, "test": 0.05}\' — '
+                         "adds a split column to the cleaned corpus")
     ap.add_argument("--shards", type=int, default=0, metavar="N",
                     help="write --mix-output as N deterministically shuffled "
                          "shard dirs, each sorted by the shuffle key (0 = off)")

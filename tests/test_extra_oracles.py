@@ -649,10 +649,14 @@ def test_text_pipeline_sharded_mix_output(spark, tmp_path):
         min_sentences=0, min_alpha_frac=0.8, cut_spans=0,
         mix_targets=_json.dumps(targets), pack_len=0,
         token_budget=0, mix_output=str(tmp_path / "m"), max_repeat=3.0,
-        shards=4,
+        shards=4, splits=_json.dumps({"train": 0.9, "val": 0.1}),
     )
     rep = run(spark, args)
     assert rep["mixed"]["shards"] == 4
+    assert set(rep["splits"]) == {"train", "val"}
+    assert sum(rep["splits"].values()) == rep["final_rows"]
+    cleaned = spark.read.parquet(str(tmp_path / "c"))
+    assert "split" in cleaned.columns
     mixed = spark.read.parquet(str(tmp_path / "m"))
     assert mixed.count() == rep["mixed"]["rows"]
     shards = sorted(r.shard for r in mixed.select("shard").distinct().collect())
