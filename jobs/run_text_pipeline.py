@@ -51,6 +51,9 @@ count action re-executes stages 1..N-1, O(stages²) total work at scale):
                          (shuffle_shards tag → repartition by shard →
                          sortWithinPartitions), the training-order
                          layout a data loader streams sequentially
+  10. chunked output   — --chunk-output PATH --chunk-tokens N
+                         [--chunk-overlap K]: sliding-window chunks of
+                         the cleaned corpus (chunk_documents; map-only)
 """
 
 from __future__ import annotations
@@ -262,6 +265,28 @@ def run(spark, args) -> dict:
         if shards:
             report["mixed"]["shards"] = shards
 
+    # 10. chunked output (optional): sliding-window chunks of the CLEANED
+    #     corpus at the training/RAG window size — map-only, no shuffle
+    chunk_out = getattr(args, "chunk_output", None)
+    if chunk_out:
+        from illumio_spark.operators.curation import chunk_documents
+
+        n = getattr(args, "chunk_tokens", 0) or 0
+        if n <= 0:
+            raise SystemExit("--chunk-output needs --chunk-tokens N")
+        ov = getattr(args, "chunk_overlap", 0) or 0
+        chunk_documents(out, n, overlap=ov).write.mode("overwrite").parquet(
+            chunk_out
+        )
+        cr = spark.read.parquet(chunk_out).agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("n_chunk_tokens").alias("tokens"),
+        ).first()
+        report["chunks"] = {
+            "rows": int(cr.rows), "tokens": int(cr.tokens or 0),
+            "chunk_tokens": n, "overlap": ov,
+        }
+
     return report
 
 
@@ -305,6 +330,13 @@ def main() -> None:
     ap.add_argument("--shards", type=int, default=0, metavar="N",
                     help="write --mix-output as N deterministically shuffled "
                          "shard dirs, each sorted by the shuffle key (0 = off)")
+    ap.add_argument("--chunk-output", metavar="PATH",
+                    help="write sliding-window chunks of the cleaned corpus "
+                         "to this parquet path (needs --chunk-tokens)")
+    ap.add_argument("--chunk-tokens", type=int, default=0, metavar="N",
+                    help="chunk window size in tokens for --chunk-output")
+    ap.add_argument("--chunk-overlap", type=int, default=0, metavar="K",
+                    help="tokens shared by consecutive chunks (default 0)")
     ap.add_argument("--report", help="write the attrition report JSON here")
     args = ap.parse_args()
 

@@ -650,6 +650,7 @@ def test_text_pipeline_sharded_mix_output(spark, tmp_path):
         mix_targets=_json.dumps(targets), pack_len=0,
         token_budget=0, mix_output=str(tmp_path / "m"), max_repeat=3.0,
         shards=4, splits=_json.dumps({"train": 0.9, "val": 0.1}),
+        chunk_output=str(tmp_path / "ch"), chunk_tokens=32, chunk_overlap=8,
     )
     rep = run(spark, args)
     assert rep["mixed"]["shards"] == 4
@@ -657,6 +658,10 @@ def test_text_pipeline_sharded_mix_output(spark, tmp_path):
     assert sum(rep["splits"].values()) == rep["final_rows"]
     cleaned = spark.read.parquet(str(tmp_path / "c"))
     assert "split" in cleaned.columns
+    # chunked output: every non-null doc yields >= 1 chunk, and overlap
+    # makes the chunk token total weakly exceed the corpus token total
+    assert rep["chunks"]["rows"] >= rep["final_rows"]
+    assert rep["chunks"]["tokens"] >= rep["tokens"]["total"]
     mixed = spark.read.parquet(str(tmp_path / "m"))
     assert mixed.count() == rep["mixed"]["rows"]
     shards = sorted(r.shard for r in mixed.select("shard").distinct().collect())
