@@ -762,6 +762,41 @@ def test_chunk_documents_exact_coordinates(spark):
     assert [(r.doc_id, r.chunk_idx, r.n_chunk_tokens) for r in out] == [(3, 0, 1)]
 
 
+def test_chunk_documents_python_reference_sweep(spark):
+    """Every (n_tokens 1..40) x (overlap 0/3/7 at window 8) combination
+    against a direct Python replay of the contract: starts advance by
+    stride, the last chunk always reaches the tail, and no chunk starts
+    at/after n_tokens."""
+    import pytest
+
+    from illumio_spark.operators.curation import chunk_documents
+
+    def reference(n, c, s):
+        if n <= c:
+            return [(0, 0, n)]
+        k = (n - c + s - 1) // s + 1
+        return [(i, i * s, min(c, n - i * s)) for i in range(k)]
+
+    docs = [(n, " ".join(f"w{j}" for j in range(n))) for n in range(1, 41)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    for overlap in (0, 3, 7):
+        stride = 8 - overlap
+        got = {
+            (r.doc_id, r.chunk_idx): (r.start_tok, r.n_chunk_tokens)
+            for r in chunk_documents(df, 8, overlap=overlap).collect()
+        }
+        want = {
+            (n, i): (st, ln)
+            for n, _ in docs
+            for i, st, ln in reference(n, 8, stride)
+        }
+        assert got == want, f"overlap={overlap}"
+    with pytest.raises(ValueError):
+        chunk_documents(df, 8, overlap=8)
+    with pytest.raises(ValueError):
+        chunk_documents(df, 8, overlap=-1)
+
+
 TOP_FRAC_SQL = """
     WITH r AS (
         SELECT source, doc_id, n_chars,
