@@ -319,6 +319,7 @@ def select_top_frac(
     stratum_col: str = "source",
     id_col: str = "doc_id",
     descending: bool = True,
+    approx_prefilter: bool = False,
 ) -> DataFrame:
     """Quantile-threshold quality selection: keep the top `frac` of each
     stratum's docs by score (the FineWeb/DCLM move — classifier or
@@ -332,17 +333,52 @@ def select_top_frac(
 
     Scale: ONE shuffle on the stratum key feeding both window functions
     (rank and stratum size share the partitioning); no global sort, no
-    driver-side threshold computation. At 100 TB with few strata the
-    per-stratum sort dominates — swap in approx_percentile to pre-filter
-    to ~frac before the exact rank if strata are huge.
+    driver-side threshold computation. At 100 TB with huge strata the
+    per-stratum window SORT dominates — pass approx_prefilter=True to
+    cut the sort input first: a per-stratum aggregate computes the
+    exact count and an approx_percentile score threshold at 2x the
+    target fraction, rows beyond the threshold are dropped before the
+    window, and the exact rank runs over the ~2*frac survivors. Ranks
+    among survivors equal global ranks (every row that could make the
+    cut survives the prefilter), so the output is IDENTICAL to the
+    plain mode — pytest-asserted. Superset guarantee: the percentile's
+    rank error is <= n/accuracy (Greenwald-Khanna bound); accuracy is
+    chosen as max(10000, 10/frac) so the error is <= frac*n/10, far
+    inside the frac*n margin between the 2*frac threshold and the
+    frac*n cutoff. Requires frac in (0, 0.5) to leave that margin —
+    falls back to the plain path otherwise.
     """
     order = F.desc(score_col) if descending else F.asc(score_col)
     w_rank = Window.partitionBy(stratum_col).orderBy(order, F.asc(id_col))
+    d = df.select(stratum_col, id_col, score_col)
+    if approx_prefilter and 0.0 < frac < 0.5:
+        accuracy = max(10000, int(10.0 / frac))
+        # score threshold at twice the kept fraction: for descending
+        # keep scores >= the (1 - 2*frac) quantile, ascending mirrored
+        q = 2.0 * frac
+        per = d.groupBy(stratum_col).agg(
+            F.count(F.lit(1)).alias("n_stratum"),
+            F.expr(
+                f"approx_percentile({score_col}, {1.0 - q if descending else q}, {accuracy})"
+            ).alias("__thr"),
+        )
+        cond = (
+            F.col(score_col) >= F.col("__thr")
+            if descending
+            else F.col(score_col) <= F.col("__thr")
+        )
+        keep = F.ceil(F.lit(float(frac)) * F.col("n_stratum")).cast("bigint")
+        return (
+            d.join(F.broadcast(per), stratum_col)
+            .filter(cond)
+            .withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+            .filter(F.col("rank") <= keep)
+            .select(stratum_col, id_col, score_col, "rank", "n_stratum")
+        )
     w_all = Window.partitionBy(stratum_col)
     keep = F.ceil(F.lit(float(frac)) * F.col("n_stratum")).cast("bigint")
     return (
-        df.select(stratum_col, id_col, score_col)
-        .withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        d.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
         .withColumn("n_stratum", F.count(F.lit(1)).over(w_all))
         .filter(F.col("rank") <= keep)
     )

@@ -819,6 +819,25 @@ def test_select_top_frac_matches_oracle(spark):
     _compare(select_top_frac(docs, 0.3, "n_chars"), TOP_FRAC_SQL)
 
 
+def test_select_top_frac_prefilter_identical(spark):
+    """approx_prefilter cuts the window-sort input but must return the
+    EXACT same rows/ranks as the plain path — every row that could make
+    the cut survives the 2x-frac threshold, so survivor ranks equal
+    global ranks. Checked at two fracs, both directions."""
+    from illumio_spark.operators.curation import select_top_frac
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for frac in (0.1, 0.3):
+        for desc in (True, False):
+            plain = select_top_frac(docs, frac, "n_chars", descending=desc)
+            fast = select_top_frac(
+                docs, frac, "n_chars", descending=desc, approx_prefilter=True
+            )
+            assert plain.exceptAll(fast).isEmpty() and fast.exceptAll(plain).isEmpty(), (
+                f"frac={frac} desc={desc}"
+            )
+
+
 SHARD_SQL = """
     WITH h AS (
         SELECT source, doc_id,
