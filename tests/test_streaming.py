@@ -176,3 +176,47 @@ def test_stream_dedup_bounded_state_expiry_semantics(spark):
     assert sorted(got["conv_id"].tolist()) == ["A", "B", "E", "F"]
     assert removed >= 1  # A's state was genuinely evicted mid-stream
     assert state_max < 4  # state never held all keys at once: bounded
+
+
+def test_curation_map_ops_are_streaming_safe(spark):
+    """The map-only corpus-assembly ops (chunk_documents, assign_splits,
+    shuffle_shards) are stateless, so the same plan runs unchanged on a
+    file stream and reproduces the batch output exactly — the property
+    that lets a curation pipeline chunk/split/shard data as it lands."""
+    import shutil
+
+    from illumio_spark.operators.curation import (
+        assign_splits,
+        chunk_documents,
+        shuffle_shards,
+    )
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    d = tempfile.mkdtemp(prefix="cur_stream_in_")
+    shutil.copy(src, os.path.join(d, "part-0.parquet"))
+    batch = spark.read.parquet(d)
+
+    def transform(df):
+        tagged = shuffle_shards(
+            assign_splits(df, {"train": 0.9, "val": 0.1}), 8
+        ).select("doc_id", "text", "split", "shard")
+        return chunk_documents(tagged.drop("split", "shard"), 16, overlap=4).join(
+            tagged.select("doc_id", "split", "shard"), "doc_id"
+        )
+
+    want = transform(batch)
+
+    out = tempfile.mkdtemp(prefix="cur_stream_out_")
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    q = (
+        transform(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", out + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    assert got.count() == want.count() > 0
+    assert want.exceptAll(got).isEmpty() and got.exceptAll(want).isEmpty()
