@@ -362,11 +362,15 @@ def select_top_frac(
                 f"approx_percentile({score_col}, {1.0 - q if descending else q}, {accuracy})"
             ).alias("__thr"),
         )
-        cond = (
+        # NULL scores sort last under either direction but would be
+        # dropped by the threshold comparison — keep them as survivors
+        # so the exact rank decides, exactly like the plain path
+        cmp = (
             F.col(score_col) >= F.col("__thr")
             if descending
             else F.col(score_col) <= F.col("__thr")
         )
+        cond = cmp | F.col(score_col).isNull() | F.col("__thr").isNull()
         keep = F.ceil(F.lit(float(frac)) * F.col("n_stratum")).cast("bigint")
         return (
             d.join(F.broadcast(per), stratum_col)
@@ -437,7 +441,10 @@ def assign_splits(
     every member of a near-dup cluster lands in the same split — the
     standard guard against train/test contamination through near
     duplicates (a doc's paraphrase in train while the doc sits in test).
-    Without group_col the hash key is source:id.
+    Without group_col the hash key is source:id. A NULL group label
+    hashes to a NULL fraction, which lands deterministically in the
+    LAST bucket — give ungrouped rows their own label (e.g. the doc id)
+    if they should scatter instead.
 
     Scale: map-only — one digest + a constant CASE chain per row, zero
     shuffle (plan-asserted); group mode assumes the group label column

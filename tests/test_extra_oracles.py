@@ -837,6 +837,16 @@ def test_select_top_frac_prefilter_identical(spark):
                 f"frac={frac} desc={desc}"
             )
 
+    # NULL-heavy scores: plain ranks NULLs last and can still keep some;
+    # the prefilter must not silently drop them (1 of 10 scores non-null,
+    # frac 0.4 forces NULL-score rows into the kept set)
+    rows = [(i, "s", 100 if i == 0 else None) for i in range(10)]
+    nulls = spark.createDataFrame(rows, "doc_id int, source string, score int")
+    plain = select_top_frac(nulls, 0.4, "score")
+    fast = select_top_frac(nulls, 0.4, "score", approx_prefilter=True)
+    assert plain.count() == 4
+    assert plain.exceptAll(fast).isEmpty() and fast.exceptAll(plain).isEmpty()
+
 
 SHARD_SQL = """
     WITH h AS (
