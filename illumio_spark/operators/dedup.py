@@ -327,6 +327,36 @@ def exact_dedup_keepers(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     )
 
 
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen_fps: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Cross-run exact dedup — the reference's processed-keys resume
+    pattern (S4, the anti-join against already-handled keys) applied to
+    document content: a new batch is deduplicated BOTH against every
+    fingerprint earlier runs recorded AND within itself (min-id keeper
+    per text group). Returns (kept_docs, new_fps): append `new_fps` to
+    the seen table after the batch commits and the next run's anti-join
+    picks up the advanced frontier; the append is idempotent on fp, so
+    a retried run cannot double-drop or double-keep.
+
+    Scale: fingerprint is a map-side md5; the anti-join shuffles on the
+    16-byte fp key (Catalyst broadcasts the seen side when it is small);
+    the within-batch keeper is the same single hash-groupBy as
+    exact_dedup_keepers. The seen table only ever stores 1 row per
+    unique document ever processed — the minimal state for exact
+    cross-run dedup.
+    """
+    fp = fingerprint_exact(new_docs, text_col)
+    if seen_fps is not None:
+        fp = fp.join(seen_fps.select("fp").distinct(), "fp", "left_anti")
+    keepers = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    kept = fp.join(keepers.select(id_col), id_col, "left_semi").drop("fp")
+    return kept, keepers.select("fp")
+
+
 def neardup_components(
     nodes: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     max_iters: int = 20,

@@ -23,7 +23,11 @@ Stages (each optional-out via flags, all DataFrame plans; each stage's
 surviving frame is localCheckpoint-ed before its report count, so every
 stage's joins execute exactly once — without the checkpoint, stage N's
 count action re-executes stages 1..N-1, O(stages²) total work at scale):
-  1. exact dedup       — md5 fingerprint, min-id keeper per group
+  1. exact dedup       — md5 fingerprint, min-id keeper per group;
+                         --seen PATH makes it CROSS-RUN (anti-join vs
+                         the fingerprints of every prior run, frontier
+                         appended after the output commits — the
+                         processed-keys resume pattern)
   2. near-dup drop     — minhash-LSH candidate pairs (xxhash64 engine
                          mode) → connected components, keep the min-id
                          representative per component
@@ -98,11 +102,26 @@ def run(spark, args) -> dict:
         raise SystemExit("input must have (doc_id, text) columns")
     n_prev[0] = docs.count()
 
-    # 1. exact dedup: keep the min-id representative of each text group
-    keepers = D.exact_dedup_keepers(docs).select(
-        F.col("keeper").alias("doc_id")
-    )
-    cur = stage("exact_dedup", docs.join(keepers, "doc_id", "left_semi"))
+    # 1. exact dedup. With --seen the stage is CROSS-RUN: anti-join
+    #    against every fingerprint earlier runs recorded (the reference's
+    #    processed-keys resume pattern), then the usual within-batch
+    #    min-id keeper; this run's new fingerprints are appended to the
+    #    seen table after the cleaned corpus commits.
+    seen_path = getattr(args, "seen", None)
+    if seen_path:
+        try:
+            seen = spark.read.parquet(seen_path)
+        except Exception:
+            seen = None  # first run: table does not exist yet
+        kept, _ = D.incremental_dedup(docs, seen)
+        cur = stage("cross_run_dedup", kept)
+        processed = cur  # frontier = everything this run PROCESSED, so
+        # docs later dropped by quality/decontam don't reprocess forever
+    else:
+        keepers = D.exact_dedup_keepers(docs).select(
+            F.col("keeper").alias("doc_id")
+        )
+        cur = stage("exact_dedup", docs.join(keepers, "doc_id", "left_semi"))
 
     # 2. near-dup drop (optional): LSH pairs → connected components →
     #    keep the min-id representative per component (transitivity-
@@ -177,6 +196,14 @@ def run(spark, args) -> dict:
 
     out = spark.read.parquet(args.output)
     report["final_rows"] = out.count()
+
+    # advance the cross-run frontier only after the cleaned corpus is
+    # durably committed — a crash before this point leaves the seen
+    # table unchanged and the whole batch reprocesses (idempotent on fp)
+    if seen_path:
+        new_fps = D.fingerprint_exact(processed).select("fp")
+        new_fps.write.mode("append").parquet(seen_path)
+        report["seen_fps_appended"] = new_fps.count()
     tc = out.select(TX.token_count(F.col("text")).alias("n"))
     r = tc.agg(
         F.sum("n").alias("total_tokens"),
@@ -295,6 +322,11 @@ def main() -> None:
     ap.add_argument("--input", required=True, help="documents parquet path")
     ap.add_argument("--output", required=True, help="cleaned-corpus output dir")
     ap.add_argument("--eval", help="eval-set parquet for decontamination")
+    ap.add_argument("--seen", metavar="PATH",
+                    help="cross-run fingerprint table: docs whose md5 text "
+                         "fingerprint is already recorded here are dropped, "
+                         "and this run's fingerprints are appended after the "
+                         "output commits")
     ap.add_argument("--ngram", type=int, default=13,
                     help="decontamination shingle size (GPT-3 rule: 13)")
     ap.add_argument("--near-dups", action="store_true",

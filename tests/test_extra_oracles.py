@@ -675,6 +675,50 @@ def test_text_pipeline_sharded_mix_output(spark, tmp_path):
         assert keys == sorted(keys), f"unsorted shard file {part}"
 
 
+def test_incremental_dedup_two_run_frontier(spark, tmp_path):
+    """Run the CLI twice against the same --seen table: run 1 processes
+    the corpus and records its fingerprints; run 2 on the SAME input
+    drops every doc at the cross-run stage (rows_out == 0) and appends
+    nothing new. A third run on a half-new corpus keeps exactly the new
+    docs. The reference analog is the processed-keys resume anti-join."""
+    import argparse
+
+    from pyspark.sql import functions as F
+
+    from jobs.run_text_pipeline import run
+
+    def mk_args(inp, out):
+        return argparse.Namespace(
+            input=inp, output=out, seen=str(tmp_path / "seen"),
+            eval=None, ngram=13, near_dups=False, quality="off",
+            min_sentences=0, min_alpha_frac=0.8, cut_spans=0,
+            mix_targets=None, pack_len=0, token_budget=0,
+        )
+
+    src = f"{SF}/documents.parquet"
+    r1 = run(spark, mk_args(src, str(tmp_path / "o1")))
+    s1 = {s["stage"]: s for s in r1["stages"]}
+    assert s1["cross_run_dedup"]["rows_out"] > 0
+    assert r1["seen_fps_appended"] == s1["cross_run_dedup"]["rows_out"]
+
+    r2 = run(spark, mk_args(src, str(tmp_path / "o2")))
+    s2 = {s["stage"]: s for s in r2["stages"]}
+    assert s2["cross_run_dedup"]["rows_out"] == 0
+    assert r2["seen_fps_appended"] == 0 and r2["final_rows"] == 0
+
+    # half-new corpus: originals drop, fresh docs survive
+    docs = spark.read.parquet(src)
+    fresh = docs.limit(50).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    ).withColumn("text", F.concat(F.col("text"), F.lit(" novel-suffix")))
+    mixed_in = str(tmp_path / "in3")
+    docs.limit(50).unionByName(fresh).write.parquet(mixed_in)
+    r3 = run(spark, mk_args(mixed_in, str(tmp_path / "o3")))
+    s3 = {s["stage"]: s for s in r3["stages"]}
+    assert s3["cross_run_dedup"]["rows_out"] == 50
+    assert r3["seen_fps_appended"] == 50
+
+
 def test_assign_splits_group_mode_is_leakage_safe(spark):
     """Group mode hashes the group label, so every member of a near-dup
     component gets the same split; ungrouped mode scatters the same rows
