@@ -282,6 +282,22 @@ def test_mixture_materialization_plans(spark):
     assert "text" in read_schema and "lang" not in read_schema
 
 
+def test_incremental_dedup_plan(spark):
+    # fp anti-join + within-batch keeper: hash joins only (no BNLJ /
+    # cartesian), and the seen side is joined on the 16-byte fp key
+    from pyspark.sql import functions as F
+
+    from illumio_spark.operators.dedup import incremental_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    seen = docs.limit(10).select(F.md5("text").alias("fp"))
+    kept, new_fps = incremental_dedup(docs, seen)
+    for df in (kept, new_fps):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_chunk_shard_topfrac_plans(spark):
     # chunker and shard tagging are map-only: zero Exchange of any kind —
     # at 100 TB both ride the input scan's partitioning
