@@ -346,11 +346,29 @@ def select_top_frac(
     chosen as max(10000, 10/frac) so the error is <= frac*n/10, far
     inside the frac*n margin between the 2*frac threshold and the
     frac*n cutoff. Requires frac in (0, 0.5) to leave that margin —
-    falls back to the plain path otherwise.
+    falls back to the plain path (with a logged warning, since the
+    caller's knob silently did nothing) otherwise.
+
+    NULL-majority guard (r6 ADVICE): keep = ceil(frac * n_stratum)
+    counts NULL-score rows, but the threshold only guarantees
+    ~2*frac*n_nonnull NON-null survivors — when NULLs outnumber scores,
+    keep can exceed that floor and the prefilter would drop scored rows
+    the plain path ranks inside the cut. A stratum where
+    keep > floor(1.9 * frac * n_nonnull) (the guaranteed survivor count
+    after the GK error margin) therefore bypasses the prefilter
+    entirely — every one of its rows survives to the exact rank,
+    identical to the plain path.
     """
     order = F.desc(score_col) if descending else F.asc(score_col)
     w_rank = Window.partitionBy(stratum_col).orderBy(order, F.asc(id_col))
     d = df.select(stratum_col, id_col, score_col)
+    if approx_prefilter and not 0.0 < frac < 0.5:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "select_top_frac: approx_prefilter requires frac in (0, 0.5) "
+            "(got %s) — using the plain exact-rank path", frac,
+        )
     if approx_prefilter and 0.0 < frac < 0.5:
         accuracy = max(10000, int(10.0 / frac))
         # score threshold at twice the kept fraction: for descending
@@ -358,6 +376,7 @@ def select_top_frac(
         q = 2.0 * frac
         per = d.groupBy(stratum_col).agg(
             F.count(F.lit(1)).alias("n_stratum"),
+            F.count(F.col(score_col)).alias("__n_nonnull"),
             F.expr(
                 f"approx_percentile({score_col}, {1.0 - q if descending else q}, {accuracy})"
             ).alias("__thr"),
@@ -370,8 +389,15 @@ def select_top_frac(
             if descending
             else F.col(score_col) <= F.col("__thr")
         )
-        cond = cmp | F.col(score_col).isNull() | F.col("__thr").isNull()
         keep = F.ceil(F.lit(float(frac)) * F.col("n_stratum")).cast("bigint")
+        # NULL-majority bypass: guaranteed non-null survivors number at
+        # least floor(1.9*frac*n_nonnull); if keep could exceed that,
+        # filtering anything would change the result — keep the whole
+        # stratum and let the exact rank do all the work
+        unsafe = keep > F.floor(F.lit(1.9 * float(frac)) * F.col("__n_nonnull"))
+        cond = (
+            cmp | F.col(score_col).isNull() | F.col("__thr").isNull() | unsafe
+        )
         return (
             d.join(F.broadcast(per), stratum_col)
             .filter(cond)

@@ -41,9 +41,26 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     return F.array_distinct(F.transform(idx, shingle))
 
 
-def fingerprint_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Exact-dup fingerprint (md5) — the hash-groupBy dedup primitive."""
-    return df.withColumn("fp", F.md5(F.col(text_col)))
+# md5 hex is always 32 lowercase hex chars, so this can never collide with
+# a real fingerprint; NULL text must map to a JOINABLE key in the cross-run
+# path — md5(NULL) is NULL, and NULL join keys never match in a left_anti,
+# so a NULL-text doc would survive the seen-table check (and append a fresh
+# NULL row) every single run (r6 ADVICE)
+NULL_TEXT_FP = "null-text"
+
+
+def fingerprint_exact(
+    df: DataFrame, text_col: str = "text", null_sentinel: bool = False
+) -> DataFrame:
+    """Exact-dup fingerprint (md5) — the hash-groupBy dedup primitive.
+
+    null_sentinel=True maps NULL text to the NULL_TEXT_FP constant so the
+    fingerprint is usable as a join/state key (the cross-run dedup path);
+    the default keeps md5's NULL-in-NULL-out for oracle parity."""
+    fp = F.md5(F.col(text_col))
+    if null_sentinel:
+        fp = F.coalesce(fp, F.lit(NULL_TEXT_FP))
+    return df.withColumn("fp", fp)
 
 
 def minhash_signature(
@@ -347,9 +364,11 @@ def incremental_dedup(
     the within-batch keeper is the same single hash-groupBy as
     exact_dedup_keepers. The seen table only ever stores 1 row per
     unique document ever processed — the minimal state for exact
-    cross-run dedup.
+    cross-run dedup. NULL text fingerprints to the NULL_TEXT_FP sentinel
+    (md5(NULL) is NULL and NULL keys never anti-join-match, so without it
+    a NULL-text doc would re-survive and re-append every run).
     """
-    fp = fingerprint_exact(new_docs, text_col)
+    fp = fingerprint_exact(new_docs, text_col, null_sentinel=True)
     if seen_fps is not None:
         fp = fp.join(seen_fps.select("fp").distinct(), "fp", "left_anti")
     keepers = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))

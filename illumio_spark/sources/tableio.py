@@ -270,9 +270,13 @@ class TableIO:
                 if not any(
                     s in msg
                     for s in (
-                        "rewrite_data_files",
+                        # NB: no bare 'procedure'/'rewrite' substrings — a
+                        # real mid-rewrite failure that merely MENTIONS the
+                        # procedure name must raise (r6 ADVICE); these match
+                        # only could-not-even-resolve-the-CALL signals
                         "unresolved_routine",
-                        "procedure",
+                        "procedure or function rewrite_data_files",
+                        "undefined function: rewrite_data_files",
                         "catalog 'local' not found",
                         "catalog plugin class not found",
                         "parse_syntax_error",

@@ -109,9 +109,18 @@ def run(spark, args) -> dict:
     #    seen table after the cleaned corpus commits.
     seen_path = getattr(args, "seen", None)
     if seen_path:
+        from pyspark.errors import AnalysisException
+
         try:
             seen = spark.read.parquet(seen_path)
-        except Exception:
+        except AnalysisException as e:
+            # ONLY path-not-found means "first run"; any other analysis
+            # failure (corrupt footer, permissions, schema problems) must
+            # surface — swallowing it would silently disable cross-run
+            # dedup and re-keep previously-seen documents (r6 ADVICE)
+            cls = (e.getCondition() or "") if hasattr(e, "getCondition") else ""
+            if "PATH_NOT_FOUND" not in cls and "Path does not exist" not in str(e):
+                raise
             seen = None  # first run: table does not exist yet
         kept, _ = D.incremental_dedup(docs, seen)
         cur = stage("cross_run_dedup", kept)
@@ -201,7 +210,9 @@ def run(spark, args) -> dict:
     # durably committed — a crash before this point leaves the seen
     # table unchanged and the whole batch reprocesses (idempotent on fp)
     if seen_path:
-        new_fps = D.fingerprint_exact(processed).select("fp")
+        new_fps = D.fingerprint_exact(
+            processed, null_sentinel=True
+        ).select("fp")
         new_fps.write.mode("append").parquet(seen_path)
         report["seen_fps_appended"] = new_fps.count()
     tc = out.select(TX.token_count(F.col("text")).alias("n"))
@@ -326,7 +337,11 @@ def main() -> None:
                     help="cross-run fingerprint table: docs whose md5 text "
                          "fingerprint is already recorded here are dropped, "
                          "and this run's fingerprints are appended after the "
-                         "output commits")
+                         "output commits. NB the frontier records every doc "
+                         "this run PROCESSED, not just survivors — a doc "
+                         "dropped by quality/decontamination stays dropped "
+                         "on later runs even if those thresholds change "
+                         "(delete the seen table to re-evaluate old docs)")
     ap.add_argument("--ngram", type=int, default=13,
                     help="decontamination shingle size (GPT-3 rule: 13)")
     ap.add_argument("--near-dups", action="store_true",

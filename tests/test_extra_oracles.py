@@ -719,6 +719,32 @@ def test_incremental_dedup_two_run_frontier(spark, tmp_path):
     assert r3["seen_fps_appended"] == 50
 
 
+def test_incremental_dedup_null_text_fingerprint(spark):
+    """md5(NULL) is NULL and NULL keys never anti-join-match, so without
+    the sentinel a NULL-text doc would survive the seen check and append
+    a fresh NULL fp EVERY run (r6 ADVICE). With it: run 1 keeps one
+    NULL-text doc and records exactly one joinable sentinel row; run 2
+    drops all NULL-text docs and appends nothing."""
+    from illumio_spark.operators.dedup import NULL_TEXT_FP, incremental_dedup
+
+    batch1 = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real text")], "doc_id int, text string"
+    )
+    kept1, fps1 = incremental_dedup(batch1, None)
+    assert sorted(r.doc_id for r in kept1.collect()) == [1, 3]
+    fp_vals = [r.fp for r in fps1.collect()]
+    assert len(fp_vals) == 2 and fp_vals.count(NULL_TEXT_FP) == 1
+    assert all(v is not None for v in fp_vals)
+
+    batch2 = spark.createDataFrame(
+        [(10, None), (11, "brand new")], "doc_id int, text string"
+    )
+    kept2, fps2 = incremental_dedup(batch2, fps1)
+    assert [r.doc_id for r in kept2.collect()] == [11]
+    assert [r.fp for r in fps2.collect()] != [None]
+    assert fps2.count() == 1
+
+
 def test_assign_splits_group_mode_is_leakage_safe(spark):
     """Group mode hashes the group label, so every member of a near-dup
     component gets the same split; ungrouped mode scatters the same rows
@@ -890,6 +916,33 @@ def test_select_top_frac_prefilter_identical(spark):
     fast = select_top_frac(nulls, 0.4, "score", approx_prefilter=True)
     assert plain.count() == 4
     assert plain.exceptAll(fast).isEmpty() and fast.exceptAll(plain).isEmpty()
+
+    # NULL-MAJORITY strata (r6 ADVICE): 10 scored + 30 NULL rows at
+    # frac=0.4 → keep = 16 counts the NULLs, but the 2*frac threshold
+    # only guarantees ~8 non-null survivors — without the bypass the
+    # prefilter would drop scored rows the plain path keeps. Mix safe
+    # and unsafe strata so both code paths run in one plan, and check
+    # the threshold-droppable scored rows (many non-null, all needed)
+    # in the same sweep.
+    rows = (
+        [(i, "nullheavy", i if i < 10 else None) for i in range(40)]
+        + [(i, "allscored", i * 3 % 17) for i in range(40)]
+        + [(i, "bigsafe", i * 7 % 101) for i in range(400)]
+    )
+    mixed = spark.createDataFrame(rows, "doc_id int, source string, score int")
+    for frac in (0.2, 0.4):
+        plain = select_top_frac(mixed, frac, "score")
+        fast = select_top_frac(mixed, frac, "score", approx_prefilter=True)
+        assert plain.exceptAll(fast).isEmpty() and fast.exceptAll(plain).isEmpty(), (
+            f"null-majority frac={frac}"
+        )
+    # in the null-heavy stratum every scored row must be kept (plain
+    # semantics: 16 kept = 10 scored + 6 NULLs) — pin it explicitly
+    kept = select_top_frac(mixed, 0.4, "score", approx_prefilter=True).filter(
+        "source = 'nullheavy'"
+    )
+    assert kept.filter("score IS NOT NULL").count() == 10
+    assert kept.count() == 16
 
 
 SHARD_SQL = """
