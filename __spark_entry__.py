@@ -25,6 +25,14 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # driver-unverified). tools/selfcheck.py asserts both invariants.
 DRIVER_WINDOW = 50
 PRIORITY = [
+    # r7 rotations: the cross-run near-dup frontier, the ExactSubstr
+    # remediation output, and the leakage-safe grouped split cross the
+    # driver gate (out: td_resize_stats, td_token_percentiles,
+    # td_frame_sample — driver-green r5-r6, now in
+    # tests/test_retired_queries.py)
+    "td_incremental_neardup",  # minhash-LSH signature frontier (new r7)
+    "td_cut_spans",  # rebuilt text after span excision (new r7)
+    "td_split_grouped",  # cluster-coherent train/val/test (new r7)
     # late-r6 rotations: corpus-assembly operators cross the driver gate
     # (out: td_media_sniff, td_quality_score, td_ngram_jaccard,
     # set_except_events, p3_audit_projection, a3_report,
@@ -50,9 +58,6 @@ PRIORITY = [
     "td_c4_filters",  # C4/Gopher page-quality filters + keep flag (new r5)
     "td_session_gaps",  # F.session_window vs gap-and-islands oracle (new r5)
     "td_neardup_components",  # CC labels vs recursive-CTE closure (new r5)
-    "td_frame_sample",  # animated-GIF keyframe sampling, per-frame oracle (r5)
-    "td_token_percentiles",  # exact percentile vs quantile_cont (new r5)
-    "td_resize_stats",  # decode→nearest-resize→encode→decode, int-exact (r5)
     "td_audio_features",  # WAV RMS/ZCR exact + DFT-oracled centroid (r5)
     "td_decode_stats",  # real PNG/WAV/GIF-LZW/JPEG codec corpus (r4)
     "p2_trim_null_projection",  # py_strip dual ASCII/Unicode path (r4)

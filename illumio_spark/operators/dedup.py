@@ -211,15 +211,22 @@ def lsh_bands(
     return bands
 
 
+def _band_stack(sigs: DataFrame, id_col: str) -> DataFrame:
+    """Wide band0..bandN columns → long (id, band_idx, band_key) rows."""
+    bands = [c for c in sigs.columns if c.startswith("band")]
+    stack_expr = ", ".join(f"'{b}', {b}" for b in bands)
+    return sigs.selectExpr(
+        id_col, f"stack({len(bands)}, {stack_expr}) as (band_idx, band_key)"
+    )
+
+
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Near-dup candidate pairs: equi-join on any shared band key.
 
     Explodes to (id, band_idx, band_key), self-joins on the band key —
     the shuffle is on band keys (small), never an O(n²) cross join.
     """
-    bands = [c for c in sigs.columns if c.startswith("band")]
-    stack_expr = ", ".join(f"'{b}', {b}" for b in bands)
-    long = sigs.selectExpr(id_col, f"stack({len(bands)}, {stack_expr}) as (band_idx, band_key)")
+    long = _band_stack(sigs, id_col)
     # materialize via an exchange: the self-join's two sides then share ONE
     # ReusedExchange instead of each recomputing the full signature tree
     long = long.repartition("band_key")
@@ -374,6 +381,106 @@ def incremental_dedup(
     keepers = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
     kept = fp.join(keepers.select(id_col), id_col, "left_semi").drop("fp")
     return kept, keepers.select("fp")
+
+
+def band_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n_hashes: int = N_MINHASH, n_bands: int = N_BANDS, hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, band_idx, band_key) — the long-format LSH band table, i.e. the
+    PERSISTABLE signature state for cross-run near-dup dedup: n_bands rows
+    per document (8-byte keys in xxhash64 mode, 32-char md5 hex in oracle
+    mode). Append each run's output to a parquet 'seen signatures' table
+    and the next run band-joins its batch against it — near-duplication's
+    equivalent of the exact-dedup fingerprint frontier."""
+    sigs = minhash_signatures_df(
+        df, id_col, text_col, n_hashes=n_hashes, hash_fn=hash_fn
+    )
+    sigs = sigs.select(id_col, *lsh_bands(n_hashes, n_bands, hash_fn=hash_fn))
+    return _band_stack(sigs, id_col)
+
+
+def incremental_neardup(
+    new_docs: DataFrame,
+    seen_bands: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+    hash_fn: str = "xxhash64",
+    max_iters: int = 20,
+) -> tuple[DataFrame, DataFrame]:
+    """Cross-run NEAR-dup dedup — the reference's processed-keys resume
+    pattern (s3_manager.py:208-210,356-359: skip keys already handled by
+    earlier runs) lifted from exact fingerprints to minhash-LSH
+    signatures. A new batch's band table is equi-joined against the
+    union of the seen table and itself, restricted to pairs with at
+    least one NEW side (new-vs-all, never the quadratic all-vs-all over
+    the full history); connected components run over just that induced
+    subgraph; a new doc survives iff its component touches no seen doc
+    AND it is the component's min-id representative (so within-batch
+    near-dup groups keep exactly one member, and anything near a
+    previously-processed doc drops — 'seen wins', matching what a
+    combined single run over all batches would keep when ids grow
+    monotonically across runs; pytest-asserted).
+
+    Returns (kept_docs, new_bands): append new_bands — the bands of ALL
+    processed docs, kept or not, so re-submissions of dropped content
+    stay dropped — to the seen table after the batch commits; the append
+    is idempotent on (id, band_idx).
+
+    Scale shape: the frontier join shuffles on band keys (8-byte
+    xxhash64), so only documents sharing a band ever meet; seen-seen
+    pairs are never formed (their components were already resolved by
+    the runs that introduced them — restricting edges to >=1-new sides
+    provably preserves both all-new components and new-to-seen
+    reachability, the only two facts the keep decision reads); CC runs
+    on the batch-induced subgraph (new docs + directly-touched seen
+    docs), not the full corpus graph. State is n_bands small rows per
+    document ever processed — the near-dup analog of the minimal
+    exact-dedup frontier."""
+    new_bands = band_signatures(
+        new_docs, id_col, text_col, n_hashes, n_bands, hash_fn
+    )
+    # materialize ONCE: the band table feeds the join's probe side, the
+    # all-bands union, and the returned frontier append — without the
+    # checkpoint each consumer re-runs the whole signature pipeline
+    new_bands = new_bands.localCheckpoint(eager=True)
+    if seen_bands is None:
+        all_bands = new_bands
+    else:
+        seen_bands = seen_bands.select(id_col, "band_idx", "band_key")
+        all_bands = new_bands.unionByName(seen_bands)
+    a = new_bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+    b = all_bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    pairs = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    new_ids = new_docs.select(id_col)
+    nodes = (
+        new_ids.unionByName(pairs.select(F.col("id_a").alias(id_col)))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    comp = neardup_components(nodes, pairs, id_col, max_iters=max_iters)
+    if seen_bands is None:
+        seen_comps = None
+    else:
+        seen_comps = (
+            comp.join(seen_bands.select(id_col).distinct(), id_col, "left_semi")
+            .select("component")
+            .distinct()
+        )
+    keep = comp.join(new_ids, id_col, "left_semi").filter(
+        F.col(id_col) == F.col("component")
+    )
+    if seen_comps is not None:
+        keep = keep.join(seen_comps, "component", "left_anti")
+    kept = new_docs.join(keep.select(id_col), id_col, "left_semi")
+    return kept, new_bands
 
 
 def neardup_components(

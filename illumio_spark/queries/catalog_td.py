@@ -1109,7 +1109,9 @@ _RESIZE_STATS_SQL = """
 """
 
 
-@q("td_resize_stats", _RESIZE_STATS_SQL)
+# td_resize_stats was driver-green r5-r6 with unchanged code; rotated out
+# r7 for td_cut_spans. Still oracle-checked every pytest run via
+# tests/test_retired_queries.py.
 def td_resize_stats(spark, sf_dir):
     """REAL image resize, oracle-checked end-to-end: PNG / GIF / baseline-
     JPEG payloads (every third JPEG carrying RST restart markers) are
@@ -1319,7 +1321,9 @@ _TOKEN_PCT_SQL = """
 """
 
 
-@q("td_token_percentiles", _TOKEN_PCT_SQL)
+# td_token_percentiles was driver-green r5-r6 with unchanged code; rotated
+# out r7 for td_split_grouped. Still oracle-checked every pytest run via
+# tests/test_retired_queries.py.
 def td_token_percentiles(spark, sf_dir):
     """Per-language token-length distribution (new r5) — the
     length-filter calibration stats a training-data pipeline computes
@@ -1440,7 +1444,9 @@ _FRAME_SAMPLE_SQL = """
 """
 
 
-@q("td_frame_sample", _FRAME_SAMPLE_SQL)
+# td_frame_sample was driver-green r5-r6 with unchanged code; rotated out
+# r7 for td_incremental_neardup. Still oracle-checked every pytest run via
+# tests/test_retired_queries.py.
 def td_frame_sample(spark, sf_dir):
     """Video-style keyframe sampling over REAL animated GIFs (r5 closes
     the last pytest-only codec op): multi-frame containers generated
@@ -1677,6 +1683,126 @@ def td_verbatim_spans(spark, sf_dir):
     return D.verbatim_overlap_spans(docs, k=4, hash_fn="md5").withColumn(
         "pos_a", F.col("pos_a").cast("int")
     ).withColumn("pos_b", F.col("pos_b").cast("int"))
+
+
+# --- r7: cross-run NEAR-dup dedup crosses the driver gate ------------------
+# (VERDICT r6 task 1: the incremental minhash frontier — the reference's
+# processed-keys resume pattern, s3_manager.py:208-210, applied at the
+# similarity level.)
+
+_INCR_NEARDUP_SQL = f"""
+    WITH RECURSIVE
+    corpus AS ({_NEARDUP_SQL_CORPUS}),
+    pairs AS (SELECT * FROM ({LSH_PAIRS_SQL})),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS m FROM reach GROUP BY src)
+    SELECT c.doc_id FROM (SELECT doc_id FROM corpus) c
+    LEFT JOIN comp USING (doc_id)
+    WHERE doc_id >= 15 AND LEAST(doc_id, COALESCE(m, doc_id)) = doc_id
+"""
+
+
+@q("td_incremental_neardup", _INCR_NEARDUP_SQL)
+def td_incremental_neardup(spark, sf_dir):
+    """Cross-run near-dup dedup (new r7): docs with id < 15 are the
+    'already processed' prior runs — only their BAND SIGNATURES exist
+    at query time — and the rest of the corpus (including the injected
+    +1M near-dups of docs 0..29) is the new batch. A new doc survives
+    iff its component touches no seen doc and it is the component's
+    min-id member. The DuckDB oracle computes the COMBINED single-run
+    transitive closure over the whole corpus and keeps new ids that are
+    their own component minimum — the equivalence the incremental
+    frontier must preserve (ids grow monotonically across runs, so
+    'seen wins' == 'min id wins'). md5 oracle-parity signatures; the
+    engine default is xxhash64 (pair equality pytest-asserted)."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    seen = corpus.filter(F.col("doc_id") < 15)
+    new = corpus.filter(F.col("doc_id") >= 15)
+    seen_bands = D.band_signatures(seen, hash_fn="md5")
+    kept, _new_bands = D.incremental_neardup(
+        new, seen_bands, hash_fn="md5"
+    )
+    return kept.select("doc_id")
+
+
+# --- r7: ExactSubstr REMEDIATION output crosses the driver gate ------------
+# (VERDICT r6 task 3: the rebuilt text after span excision, DuckDB
+# replaying interval merge + token-slice reassembly.)
+
+_CUT_SPANS_SQL = f"""
+    WITH spans AS ({_VERBATIM_SPANS_SQL}),
+    iv AS (
+        SELECT DISTINCT id_b AS doc_id, pos_b AS s,
+               pos_b + span_tokens AS e
+        FROM spans WHERE span_tokens >= 6
+    ),
+    ord AS (
+        SELECT *, MAX(e) OVER (
+            PARTITION BY doc_id ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ) AS run_end FROM iv
+    ),
+    isl AS (
+        SELECT *, SUM(CASE WHEN run_end IS NULL OR s > run_end
+                           THEN 1 ELSE 0 END) OVER (
+            PARTITION BY doc_id ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS island FROM ord
+    ),
+    merged AS (
+        SELECT doc_id, island, MIN(s) AS s, MAX(e) AS e
+        FROM isl GROUP BY doc_id, island
+    ),
+    affected AS (SELECT DISTINCT doc_id FROM merged),
+    toks AS (
+        SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) - 1 AS pos
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(TRIM(text), '\\s+'),
+                                 x -> x <> '') AS l
+              FROM documents WHERE text IS NOT NULL)
+    ),
+    kept AS (
+        SELECT t.doc_id, t.pos, t.tok
+        FROM toks t JOIN affected a USING (doc_id)
+        WHERE NOT EXISTS (
+            SELECT 1 FROM merged m
+            WHERE m.doc_id = t.doc_id AND t.pos >= m.s AND t.pos < m.e)
+    ),
+    rebuilt AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT doc_id, text FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM affected)
+    UNION ALL
+    SELECT doc_id, text FROM rebuilt
+"""
+
+
+@q("td_cut_spans", _CUT_SPANS_SQL)
+def td_cut_spans(spark, sf_dir):
+    """Lee et al. 2022 ExactSubstr remediation output (new r7): the
+    REBUILT corpus after every shared >= 6-token run (k=4 shingles,
+    gap-and-islands spans) is excised from the higher-id doc of its
+    pair. The DuckDB oracle replays interval dedup -> overlapping-
+    interval merge (running-max window) -> tokenize -> position
+    anti-filter -> ordered string_agg, so the rebuilt TEXT is
+    byte-compared, not just counted. Docs cut to zero tokens drop
+    (full-duplication remediation == removal); untouched docs pass
+    through with original whitespace. Shuffle keys are doc ids
+    throughout; untouched docs never pay the explode."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = D.verbatim_overlap_spans(docs, k=4, hash_fn="md5")
+    return D.cut_verbatim_spans(docs, spans, min_span_tokens=6)
 
 
 # ---------------------------------------------------------------------------
@@ -1963,6 +2089,68 @@ def td_split_corpus(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return assign_splits(docs, _SPLIT_FRACS).select("source", "doc_id", "split")
+
+
+def _split_grouped_sql() -> str:
+    # same cumulative CASE chain as _split_sql, but the hash key is the
+    # near-dup COMPONENT label (as a string), replayed over the DuckDB
+    # recursive-closure component computation
+    tot = sum(_SPLIT_FRACS.values())
+    names = list(_SPLIT_FRACS)
+    cases, cum = [], 0.0
+    for name in names[:-1]:
+        cum += _SPLIT_FRACS[name] / tot
+        cases.append(f"WHEN frac < CAST('{cum!r}' AS DOUBLE) THEN '{name}'")
+    chain = " ".join(cases)
+    return f"""
+    WITH RECURSIVE
+    corpus AS ({_NEARDUP_SQL_CORPUS}),
+    pairs AS (SELECT * FROM ({LSH_PAIRS_SQL})),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    compm AS (SELECT src AS doc_id, MIN(dst) AS m FROM reach GROUP BY src),
+    comp AS (
+        SELECT c.doc_id, LEAST(c.doc_id, COALESCE(m, c.doc_id)) AS component
+        FROM (SELECT doc_id FROM corpus) c LEFT JOIN compm USING (doc_id)
+    ),
+    d AS (
+        SELECT doc_id, component,
+               CAST(concat('0x', substr(md5(CAST(component AS VARCHAR)), 1, 8))
+                    AS BIGINT) / 4294967296.0 AS frac
+        FROM comp
+    )
+    SELECT doc_id, component,
+           CASE {chain} ELSE '{names[-1]}' END AS split
+    FROM d
+    """
+
+
+@q("td_split_grouped", _split_grouped_sql())
+def td_split_grouped(spark, sf_dir):
+    """Leakage-safe train/val/test split (new r7, VERDICT r6 task 4):
+    the hash key is the near-dup COMPONENT label, so every member of a
+    cluster lands in the same split — the standard guard against a
+    doc's paraphrase sitting in train while the doc sits in test. The
+    DuckDB oracle recomputes components via the recursive-CTE closure
+    and replays the exact md5-fraction CASE chain, so cluster-coherence
+    is structurally guaranteed by key construction AND value-checked
+    end to end. Map-only after the one component join."""
+    from illumio_spark.operators.curation import assign_splits
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(corpus)  # md5 oracle-parity mode
+    comp = D.neardup_components(corpus.select("doc_id"), pairs)
+    return assign_splits(
+        comp, _SPLIT_FRACS, group_col="component"
+    ).select("doc_id", "component", "split")
 
 
 @q("td_shuffle_shards", _SHUFFLE_SHARDS_SQL)

@@ -30,7 +30,10 @@ count action re-executes stages 1..N-1, O(stages²) total work at scale):
                          processed-keys resume pattern)
   2. near-dup drop     — minhash-LSH candidate pairs (xxhash64 engine
                          mode) → connected components, keep the min-id
-                         representative per component
+                         representative per component; --seen-sigs PATH
+                         makes it CROSS-RUN (band-join vs every prior
+                         run's signatures, new-vs-all; frontier appended
+                         after the output commits)
   2b. verbatim cut     — --cut-spans K: ExactSubstr spans excised from
                          the higher-id doc (Lee et al. remediation)
   3. decontamination   — GPT-3-style 13-gram overlap vs --eval corpus
@@ -134,8 +137,28 @@ def run(spark, args) -> dict:
 
     # 2. near-dup drop (optional): LSH pairs → connected components →
     #    keep the min-id representative per component (transitivity-
-    #    correct: a-b, b-c is ONE group even though (a,c) never paired)
-    if args.near_dups:
+    #    correct: a-b, b-c is ONE group even though (a,c) never paired).
+    #    With --seen-sigs the stage is CROSS-RUN: this batch's band table
+    #    joins against every prior run's signatures (new-vs-all, never
+    #    all-vs-all), and docs near-duplicating previously-processed
+    #    content drop; the batch's bands append after the output commits.
+    sigs_path = getattr(args, "seen_sigs", None)
+    pending_bands = None
+    if args.near_dups and sigs_path:
+        from pyspark.errors import AnalysisException
+
+        try:
+            seen_bands = spark.read.parquet(sigs_path)
+        except AnalysisException as e:
+            cls = (e.getCondition() or "") if hasattr(e, "getCondition") else ""
+            if "PATH_NOT_FOUND" not in cls and "Path does not exist" not in str(e):
+                raise
+            seen_bands = None  # first run
+        kept, pending_bands = D.incremental_neardup(
+            cur, seen_bands, hash_fn="xxhash64"
+        )
+        cur = stage("cross_run_neardup", kept)
+    elif args.near_dups:
         cur = stage("near_dup_drop", D.neardup_keepers(cur, hash_fn="xxhash64"))
 
     # 2b. verbatim span remediation (optional): locate shared k-token
@@ -215,6 +238,12 @@ def run(spark, args) -> dict:
         ).select("fp")
         new_fps.write.mode("append").parquet(seen_path)
         report["seen_fps_appended"] = new_fps.count()
+    if pending_bands is not None:
+        # same commit discipline as --seen: the signature frontier only
+        # advances once the cleaned corpus is durable; a crash before
+        # this point reprocesses the batch (idempotent on (id, band))
+        pending_bands.write.mode("append").parquet(sigs_path)
+        report["seen_bands_appended"] = pending_bands.count()
     tc = out.select(TX.token_count(F.col("text")).alias("n"))
     r = tc.agg(
         F.sum("n").alias("total_tokens"),
@@ -346,6 +375,13 @@ def main() -> None:
                     help="decontamination shingle size (GPT-3 rule: 13)")
     ap.add_argument("--near-dups", action="store_true",
                     help="also drop minhash-LSH near-duplicates")
+    ap.add_argument("--seen-sigs", metavar="PATH",
+                    help="cross-run near-dup signature table (with "
+                         "--near-dups): docs whose minhash-LSH bands "
+                         "collide with any prior run's are dropped, and "
+                         "this run's bands are appended after the output "
+                         "commits. Like --seen, the frontier records every "
+                         "PROCESSED doc, not just survivors")
     ap.add_argument("--cut-spans", type=int, default=0, metavar="K",
                     help="excise verbatim K-token spans from the higher-id "
                          "doc of each sharing pair (0 = off)")

@@ -385,3 +385,67 @@ def test_neardup_components_raises_on_nonconvergence(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         neardup_components(nodes, pairs, max_iters=2)
+
+
+def test_incremental_neardup_equals_combined_run(neardup_corpus):
+    """Task-1 equivalence contract (VERDICT r6): splitting the corpus
+    into two runs fed through the signature frontier keeps EXACTLY the
+    docs a single combined run keeps (ids grow monotonically across
+    runs, so 'seen wins' == 'min id wins'). The split boundary lands so
+    near-dup pairs straddle it (originals < 120, dups at 1000000+)."""
+    batch1 = neardup_corpus.filter(F.col("doc_id") < 120)
+    batch2 = neardup_corpus.filter(F.col("doc_id") >= 120)
+    kept1, bands1 = D.incremental_neardup(batch1, None)
+    kept2, bands2 = D.incremental_neardup(batch2, bands1)
+    combined = D.neardup_keepers(neardup_corpus, hash_fn="xxhash64")
+    incr_ids = {r.doc_id for r in kept1.collect()} | {
+        r.doc_id for r in kept2.collect()
+    }
+    comb_ids = {r.doc_id for r in combined.collect()}
+    assert incr_ids == comb_ids
+    # every cross-boundary dup dropped in run 2, none of them kept
+    assert not any(i >= 1000000 and (i - 1000000) < 40 for i in incr_ids)
+    # frontier state: n_bands rows per processed doc, kept or not
+    assert bands1.count() == 120 * D.N_BANDS
+    assert bands2.count() == batch2.count() * D.N_BANDS
+
+
+def test_incremental_neardup_resubmission_stays_dropped(spark):
+    """Re-running a batch against its own frontier drops EVERYTHING
+    (every doc is an exact signature match of its seen self), and
+    re-submitting content that was DROPPED in run 1 (a near-dup loser)
+    still drops in run 2 — the frontier records processed docs, not
+    survivors."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, base), (2, base + " mu"), (3, "totally different text about unrelated things entirely")]
+    b1 = spark.createDataFrame(rows, "doc_id long, text string")
+    kept1, bands1 = D.incremental_neardup(b1, None)
+    assert sorted(r.doc_id for r in kept1.collect()) == [1, 3]  # 2 is near-dup loser
+    # rerun same content under new ids: everything already seen
+    b2 = spark.createDataFrame(
+        [(11, base), (12, base + " mu")], "doc_id long, text string"
+    )
+    kept2, _ = D.incremental_neardup(b2, bands1)
+    assert kept2.count() == 0
+    # genuinely new content under the same frontier survives
+    b3 = spark.createDataFrame(
+        [(21, "fresh words never observed before in any prior run batch")],
+        "doc_id long, text string",
+    )
+    kept3, _ = D.incremental_neardup(b3, bands1)
+    assert kept3.count() == 1
+
+
+def test_incremental_neardup_transitive_chain_through_new(spark):
+    """a(seen) ~ b(new) ~ c(new) where c never pairs with a directly:
+    b drops via the seen component, and c — reachable from seen only
+    THROUGH b — must drop too (restricted >=1-new edges preserve
+    reachability-to-seen)."""
+    t = "one two three four five six seven eight nine ten eleven twelve"
+    seen = spark.createDataFrame([(1, t)], "doc_id long, text string")
+    _, bands = D.incremental_neardup(seen, None)
+    chain = spark.createDataFrame(
+        [(10, t + " x"), (11, t + " x y")], "doc_id long, text string"
+    )
+    kept, _ = D.incremental_neardup(chain, bands)
+    assert kept.count() == 0

@@ -719,6 +719,58 @@ def test_incremental_dedup_two_run_frontier(spark, tmp_path):
     assert r3["seen_fps_appended"] == 50
 
 
+def test_incremental_neardup_cli_two_run_frontier(spark, tmp_path):
+    """CLI --near-dups --seen-sigs: run 1 drops within-batch near-dups
+    and records every processed doc's bands; run 2 over near-duplicates
+    of run-1 content (both kept AND dropped docs, under fresh ids) drops
+    everything; a genuinely novel doc in the same run survives. Band
+    frontier advances only by each run's processed docs."""
+    import argparse
+
+    from pyspark.sql import functions as F
+
+    from illumio_spark.operators.dedup import N_BANDS
+    from jobs.run_text_pipeline import run
+
+    def mk_args(inp, out):
+        return argparse.Namespace(
+            input=inp, output=out, seen=None, seen_sigs=str(tmp_path / "sigs"),
+            eval=None, ngram=13, near_dups=True, quality="off",
+            min_sentences=0, min_alpha_frac=0.8, cut_spans=0,
+            mix_targets=None, pack_len=0, token_budget=0,
+        )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    near = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+    )
+    in1 = str(tmp_path / "in1")
+    docs.select("doc_id", "text").unionByName(near).write.parquet(in1)
+    r1 = run(spark, mk_args(in1, str(tmp_path / "o1")))
+    s1 = {s["stage"]: s for s in r1["stages"]}
+    assert s1["cross_run_neardup"]["dropped"] >= 10  # the injected near-dups
+    assert r1["seen_bands_appended"] == 70 * N_BANDS  # processed, not kept
+
+    # run 2: near-dups of run-1 docs (kept and dropped alike) + 1 novel doc
+    redo = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 900_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+    )
+    novel = spark.createDataFrame(
+        [(999_999, "entirely novel content absent from every prior run batch")],
+        "doc_id long, text string",
+    )
+    in2 = str(tmp_path / "in2")
+    redo.unionByName(novel).write.parquet(in2)
+    r2 = run(spark, mk_args(in2, str(tmp_path / "o2")))
+    s2 = {s["stage"]: s for s in r2["stages"]}
+    assert s2["cross_run_neardup"]["rows_out"] == 1
+    assert r2["seen_bands_appended"] == 21 * N_BANDS
+    kept = spark.read.parquet(str(tmp_path / "o2"))
+    assert [r.doc_id for r in kept.collect()] == [999_999]
+
+
 def test_incremental_dedup_null_text_fingerprint(spark):
     """md5(NULL) is NULL and NULL keys never anti-join-match, so without
     the sentinel a NULL-text doc would survive the seen check and append

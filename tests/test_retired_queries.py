@@ -199,3 +199,25 @@ def test_a10_s16_rate_monitor_matches_oracle(spark):
     from illumio_spark.queries.catalog import A10_S16_SQL, a10_s16_rate_monitor
 
     _compare(a10_s16_rate_monitor(spark, SF), A10_S16_SQL)
+
+
+# --- rotated out in r7 for the cross-run near-dup / cut-spans /
+# grouped-split driver rows ------------------------------------------------
+
+
+def test_td_resize_stats_matches_oracle(spark):
+    from illumio_spark.queries.catalog_td import _RESIZE_STATS_SQL, td_resize_stats
+
+    _compare(td_resize_stats(spark, SF), _RESIZE_STATS_SQL)
+
+
+def test_td_token_percentiles_matches_oracle(spark):
+    from illumio_spark.queries.catalog_td import _TOKEN_PCT_SQL, td_token_percentiles
+
+    _compare(td_token_percentiles(spark, SF), _TOKEN_PCT_SQL)
+
+
+def test_td_frame_sample_matches_oracle(spark):
+    from illumio_spark.queries.catalog_td import _FRAME_SAMPLE_SQL, td_frame_sample
+
+    _compare(td_frame_sample(spark, SF), _FRAME_SAMPLE_SQL)
