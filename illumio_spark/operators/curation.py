@@ -261,6 +261,7 @@ def chunk_documents(
     overlap: int = 0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    drop_empty: bool = False,
 ) -> DataFrame:
     """Sliding-window document chunking (pretraining / RAG chunker): cut
     each doc's whitespace-token stream into windows of `chunk_tokens`
@@ -274,7 +275,11 @@ def chunk_documents(
     strict prefix of its predecessor). NULL text yields zero chunks
     (sequence(NULL) explodes to nothing); empty text tokenizes to the
     one-element [''] array both engines produce and yields one
-    one-token chunk — degenerate but cross-engine-stable.
+    one-token chunk — degenerate but cross-engine-stable, and what the
+    DuckDB oracle replays. A pretraining user usually wants ZERO chunks
+    for empty/whitespace-only docs instead: pass drop_empty=True
+    (default off purely for oracle parity; the filter is a map-side
+    predicate on the same tokenized column, still zero shuffle).
 
     Tokenizer is the engine-wide split(trim(text), '\\s+') (same as
     token_count), so chunk token coordinates line up with pack_chunks /
@@ -294,9 +299,17 @@ def chunk_documents(
     )
     start = (F.col("chunk_idx") * stride).cast("bigint")
     chunk_len = F.least(F.lit(chunk_tokens).cast("bigint"), F.col("__n") - start)
+    base = df.select(
+        id_col, toks.alias("__toks"), F.size(toks).cast("bigint").alias("__n")
+    )
+    if drop_empty:
+        # an empty/whitespace-only text splits to the one-element ['']
+        # array — size 1 with an empty sole token identifies it exactly
+        base = base.filter(
+            ~((F.col("__n") == 1) & (F.element_at("__toks", 1) == ""))
+        )
     return (
-        df.select(id_col, toks.alias("__toks"), F.size(toks).cast("bigint").alias("__n"))
-        .withColumn(
+        base.withColumn(
             "chunk_idx",
             F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)),
         )

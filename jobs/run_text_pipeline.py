@@ -38,6 +38,9 @@ count action re-executes stages 1..N-1, O(stages²) total work at scale):
                          the higher-id doc (Lee et al. remediation)
   3. decontamination   — GPT-3-style 13-gram overlap vs --eval corpus
   4. quality filter    — C4/Gopher c4_keep conjunction
+  4b. top-frac select  — --top-frac F: keep the top F of each source by
+                         corpus-trained bigram-LM score (FineWeb-style
+                         score-threshold selection)
   5. token budget      — --token-budget N: greedy per-source selection
                          until each source's running token total reaches
                          N (fill-until-full; straddling doc kept)
@@ -190,6 +193,25 @@ def run(spark, args) -> dict:
             .select("doc_id")
         )
         cur = stage("c4_quality", cur.join(keep_ids, "doc_id", "left_semi"))
+
+    # 4b. top-frac quality selection (optional): score every surviving
+    #     doc with the corpus-trained bigram LM (fluent in-distribution
+    #     text scores high) and keep the top fraction of each source —
+    #     the FineWeb/DCLM-style score-threshold selection, per-stratum
+    #     so one high-scoring source can't crowd out the rest
+    top_frac = getattr(args, "top_frac", 0.0) or 0.0
+    if top_frac:
+        from illumio_spark.operators.curation import select_top_frac
+
+        if "source" not in cur.columns:
+            raise SystemExit("--top-frac needs a source column")
+        scored = cur.select("source", "doc_id").join(
+            TX.bigram_lm_scores(cur), "doc_id"
+        )
+        picked = select_top_frac(
+            scored, top_frac, "avg_log2_prob"
+        ).select("doc_id")
+        cur = stage("top_frac_quality", cur.join(picked, "doc_id", "left_semi"))
 
     # 5. per-source token budget (optional): greedy fill-until-full in
     #    doc_id order — caps every source's contribution so one huge
@@ -391,6 +413,9 @@ def main() -> None:
                     help="C4 sentence threshold (0 for punctuation-free corpora)")
     ap.add_argument("--min-alpha-frac", type=float, default=0.8,
                     help="Gopher alphabetic-word fraction threshold")
+    ap.add_argument("--top-frac", type=float, default=0.0, metavar="F",
+                    help="keep only the top F (0,1] of each source by "
+                         "corpus-trained bigram-LM score (0 = off)")
     ap.add_argument("--mix-targets", metavar="JSON",
                     help='target token mixture per source, e.g. '
                          '\'{"web": 0.6, "code": 0.4}\' — reports per-source '

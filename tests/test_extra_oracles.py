@@ -719,6 +719,45 @@ def test_incremental_dedup_two_run_frontier(spark, tmp_path):
     assert r3["seen_fps_appended"] == 50
 
 
+def test_cli_top_frac_stage(spark, tmp_path):
+    """--top-frac wires score-threshold selection into the curation CLI
+    (VERDICT r6 task 2): the kept set must equal select_top_frac's
+    direct output over the bigram-LM scores of the stage's input, and
+    the attrition report must carry the stage row."""
+    import argparse
+
+    from illumio_spark.functions import text as TX
+    from illumio_spark.operators.curation import select_top_frac
+    from jobs.run_text_pipeline import run
+
+    src = f"{SF}/documents.parquet"
+    args = argparse.Namespace(
+        input=src, output=str(tmp_path / "o"), seen=None, eval=None,
+        ngram=13, near_dups=False, quality="off", min_sentences=0,
+        min_alpha_frac=0.8, cut_spans=0, top_frac=0.4,
+        mix_targets=None, pack_len=0, token_budget=0,
+    )
+    rep = run(spark, args)
+    stages = {s["stage"]: s for s in rep["stages"]}
+    assert "top_frac_quality" in stages
+    assert 0 < stages["top_frac_quality"]["rows_out"] < stages["exact_dedup"]["rows_out"]
+
+    # replicate the stage by hand: exact dedup survivors -> bigram-LM
+    # score -> top 40% per source; the CLI's kept set must match exactly
+    # (the corpus is dup-free at this SF, so the LM trains on all docs)
+    assert stages["exact_dedup"]["dropped"] == 0
+    docs = spark.read.parquet(src)
+    scored = docs.select("source", "doc_id").join(
+        TX.bigram_lm_scores(docs), "doc_id"
+    )
+    want = {
+        r.doc_id
+        for r in select_top_frac(scored, 0.4, "avg_log2_prob").collect()
+    }
+    got = {r.doc_id for r in spark.read.parquet(str(tmp_path / "o")).collect()}
+    assert got == want
+
+
 def test_incremental_neardup_cli_two_run_frontier(spark, tmp_path):
     """CLI --near-dups --seen-sigs: run 1 drops within-batch near-dups
     and records every processed doc's bands; run 2 over near-duplicates
@@ -882,6 +921,18 @@ def test_chunk_documents_exact_coordinates(spark):
     )
     out = chunk_documents(edge, 8, overlap=3).collect()
     assert [(r.doc_id, r.chunk_idx, r.n_chunk_tokens) for r in out] == [(3, 0, 1)]
+    # empty / whitespace-only text: default emits the degenerate ['']
+    # chunk (oracle parity); drop_empty=True emits zero chunks for those
+    # docs and leaves real docs untouched (r6 VERDICT nit 1)
+    empt = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "a b c")],
+        "doc_id int, text string",
+    )
+    dflt = chunk_documents(empt, 8).collect()
+    assert sorted(r.doc_id for r in dflt) == [1, 2, 4]
+    dropped = chunk_documents(empt, 8, drop_empty=True).collect()
+    assert [r.doc_id for r in dropped] == [4]
+    assert dropped[0].chunk_text == "a b c"
 
 
 def test_chunk_documents_python_reference_sweep(spark):
