@@ -104,27 +104,69 @@ def run_arm(spark, mult: int) -> dict:
     ).first()
     out["shuffle_shards_n"] = int(r.n_shards)
     out["shuffle_shards_s"] = round(time.time() - t0, 3)
+
+    # sharded WRITE (r6 task 6): the one real shuffle in the assembly
+    # family — the CLI --shards materialization (repartition(n, shard) →
+    # sortWithinPartitions → partitionBy write), measured end to end
+    # including the parquet write, with files-per-shard and per-file
+    # sort order verified on the output
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    n_shards = 64
+    t0 = time.time()
+    tagged = shuffle_shards(corpus, n_shards, key_cols=("source", "doc_id"))
+    outdir = tempfile.mkdtemp(prefix=f"shardwrite_m{mult}_")
+    (
+        tagged.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "sort_key")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(outdir)
+    )
+    out["sharded_write_s"] = round(time.time() - t0, 3)
+    shard_dirs = glob.glob(outdir + "/shard=*")
+    parts = glob.glob(outdir + "/shard=*/*.parquet")
+    out["sharded_write_shards"] = len(shard_dirs)
+    out["sharded_write_files_per_shard"] = round(len(parts) / len(shard_dirs), 2)
+    bad = 0
+    for p in parts[:n_shards]:
+        keys = pq.read_table(p, columns=["sort_key"])["sort_key"].to_pylist()
+        if keys != sorted(keys):
+            bad += 1
+    out["sharded_write_unsorted_files"] = bad
+    out["sharded_write_rows"] = spark.read.parquet(outdir).count()
+    shutil.rmtree(outdir)
     return out
 
 
 def main() -> None:
     from illumio_spark.session import build_session
 
+    import bench as B
+
     spark = build_session(app_name="assembly_scale", master="local[32]",
                           shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
+    disk0 = round(B.disk_probe_mb_s())
     arms = [run_arm(spark, 1), run_arm(spark, 100)]
+    disk1 = round(B.disk_probe_mb_s())
     a, b = arms
     result = {
         "metric": "assembly_scale",
         "seq_len": SEQ_LEN,
+        "disk_mb_s_before": disk0,
+        "disk_mb_s_after": disk1,
         "arms": arms,
         "time_ratio": {
             k.removesuffix("_s"): round(b[k] / a[k], 2)
             for k in (
                 "pack_chunks_s", "pack_stats_s", "mixture_weights_s",
                 "apply_mixture_s", "token_budget_s", "chunk_s",
-                "top_frac_s", "shuffle_shards_s",
+                "top_frac_s", "shuffle_shards_s", "sharded_write_s",
             )
         },
         "docs_ratio": round(b["n_docs"] / a["n_docs"], 2),

@@ -63,6 +63,9 @@ HEADLINE = [
     "td_top_frac",
     "td_shuffle_shards",
     "td_split_corpus",
+    "td_incremental_neardup",
+    "td_cut_spans",
+    "td_split_grouped",
 ]
 
 
@@ -114,7 +117,43 @@ def bench_overrides() -> dict:
         # late r6: shard shuffle on the engine-default hash (registry row
         # uses the md5 oracle-parity mode)
         "td_shuffle_shards": _shuffle_shards_fast,
+        # r7: cross-run near-dup frontier, span excision, and grouped
+        # split on the engine-default hash (registry rows run md5)
+        "td_incremental_neardup": _incremental_neardup_fast,
+        "td_cut_spans": _cut_spans_fast,
+        "td_split_grouped": _split_grouped_fast,
     }
+
+
+def _incremental_neardup_fast(spark, sf_dir):
+    from illumio_spark.operators import dedup as D
+    from illumio_spark.queries.catalog_td import _neardup_corpus
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    seen_bands = D.band_signatures(corpus.filter("doc_id < 15"))
+    kept, _ = D.incremental_neardup(corpus.filter("doc_id >= 15"), seen_bands)
+    return kept.select("doc_id")
+
+
+def _cut_spans_fast(spark, sf_dir):
+    from illumio_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    spans = D.verbatim_overlap_spans(docs, k=4, hash_fn="xxhash64")
+    return D.cut_verbatim_spans(docs, spans, min_span_tokens=6)
+
+
+def _split_grouped_fast(spark, sf_dir):
+    from illumio_spark.operators import dedup as D
+    from illumio_spark.operators.curation import assign_splits
+    from illumio_spark.queries.catalog_td import _SPLIT_FRACS, _neardup_corpus
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(corpus, hash_fn="xxhash64")
+    comp = D.neardup_components(corpus.select("doc_id"), pairs)
+    return assign_splits(comp, _SPLIT_FRACS, group_col="component").select(
+        "doc_id", "component", "split"
+    )
 
 
 def _shuffle_shards_fast(spark, sf_dir):
