@@ -270,6 +270,119 @@ def lsh_neardup_pairs(
     )
 
 
+def incremental_embedding_neardup(
+    new_df: DataFrame,
+    seen_buckets: DataFrame | None,
+    seen_vecs: DataFrame | None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 4,
+    dim: int = 64,
+    n_tables: int = 3,
+    max_iters: int = 20,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Cross-run EMBEDDING near-dup dedup — the processed-keys resume
+    pattern (reference s3_manager.py:208-210) on the similarity family,
+    completing the frontier trio: exact fingerprints
+    (dedup.incremental_dedup), minhash-LSH text signatures
+    (dedup.incremental_neardup), and now embedding-cosine.
+
+    State is TWO tables, both append-only after each run commits:
+      seen_buckets (id, tbl, bucket) — the multi-table hyperplane-LSH
+        assignments, n_tables small rows per doc (the join frontier);
+      seen_vecs (id, vec) — needed because embedding near-dup, unlike
+        minhash, VERIFIES candidates with an exact cosine: a new-vs-seen
+        candidate pair must re-attach the seen vector.
+    Returns (kept_new_docs, new_buckets, new_vecs); append the latter
+    two after the batch's output commits (idempotent on id).
+
+    Decision mirrors incremental_neardup: candidates = (tbl, bucket)
+    equi-join of the new batch against seen+new (>= 1 new side, never
+    the all-vs-all of history); pairs verified at cosine >= threshold;
+    connected components over the verified edges (transitivity-correct);
+    a new doc survives iff its component touches no seen doc and it is
+    the component's min-id member — 'seen wins', equal to a combined
+    single run when ids grow monotonically (pytest-asserted). Bucket
+    assignment is seed-deterministic, so a vector's buckets are
+    identical in every run — cross-run candidates equal combined-run
+    candidates exactly.
+
+    Scale shape: the frontier join shuffles on compact (tbl, bucket)
+    keys and moves ID PAIRS only; vectors re-attach by id equi-join for
+    candidates alone (the ~60:1 shuffle-weight discipline of
+    lsh_neardup_pairs); CC runs on the batch-induced subgraph. Per-run
+    cost is O(batch + collisions), never O(history)."""
+    from illumio_spark.operators.dedup import neardup_components
+
+    ev = new_df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    nb = _bucketed_long(ev, id_col, "__v", n_planes, dim, n_tables).select(
+        id_col, "tbl", "bucket"
+    )
+    # materialize ONCE: probe side of the join, the all-buckets union,
+    # and the returned frontier append all read it
+    nb = nb.localCheckpoint(eager=True)
+    if seen_buckets is None:
+        all_b = nb
+    else:
+        all_b = nb.unionByName(
+            seen_buckets.select(id_col, "tbl", "bucket")
+        )
+    a, b = nb.alias("a"), all_b.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    if seen_vecs is None:
+        all_v = ev
+    else:
+        all_v = ev.unionByName(
+            seen_vecs.select(
+                F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+            )
+        )
+    va = all_v.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"))
+    vb = all_v.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb"))
+    verified = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .select("id_a", "id_b")
+    )
+    new_ids = new_df.select(id_col)
+    nodes = (
+        new_ids.unionByName(verified.select(F.col("id_a").alias(id_col)))
+        .unionByName(verified.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    comp = neardup_components(nodes, verified, id_col, max_iters=max_iters)
+    keep = comp.join(new_ids, id_col, "left_semi").filter(
+        F.col(id_col) == F.col("component")
+    )
+    if seen_buckets is not None:
+        seen_comps = (
+            comp.join(
+                seen_buckets.select(id_col).distinct(), id_col, "left_semi"
+            )
+            .select("component")
+            .distinct()
+        )
+        keep = keep.join(seen_comps, "component", "left_anti")
+    kept = new_df.join(keep.select(id_col), id_col, "left_semi")
+    return kept, nb, new_df.select(id_col, vec_col)
+
+
 def ivf_train_centroids(
     emb: DataFrame, vec_col: str = "embedding", n_centroids: int = 64,
     sample_n: int = 20000, iters: int = 10, seed: int = LSH_SEED,

@@ -449,3 +449,46 @@ def test_incremental_neardup_transitive_chain_through_new(spark):
     )
     kept, _ = D.incremental_neardup(chain, bands)
     assert kept.count() == 0
+
+
+def test_incremental_embedding_neardup_equals_combined_run(spark):
+    """The frontier trio's third member: cross-run embedding near-dup
+    must keep exactly what one combined run keeps (run-2 ids above
+    run-1 ids). Clustered corpus so near-dup groups straddle the run
+    boundary; bucket assignment is seed-deterministic, so cross-run
+    candidates equal combined-run candidates exactly."""
+    rng = np.random.Generator(np.random.PCG64(11))
+    base = rng.standard_normal((30, 16))
+    rows = []
+    for i in range(30):
+        rows.append((i, base[i].tolist()))
+    # near-dups of vectors 0..9 land in the SECOND batch (ids 100+)
+    for i in range(10):
+        rows.append((100 + i, (base[i] + 0.01 * rng.standard_normal(16)).tolist()))
+    # plus a second-batch-only near-dup pair (120, 121)
+    v = rng.standard_normal(16)
+    rows.append((120, v.tolist()))
+    rows.append((121, (v + 0.01 * rng.standard_normal(16)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    b1 = df.filter(F.col("vec_id") < 100)
+    b2 = df.filter(F.col("vec_id") >= 100)
+
+    kw = dict(threshold=0.95, n_planes=4, dim=16, n_tables=3)
+    kept1, bk1, vc1 = SIM.incremental_embedding_neardup(b1, None, None, **kw)
+    kept2, bk2, vc2 = SIM.incremental_embedding_neardup(b2, bk1, vc1, **kw)
+    incr = {r.vec_id for r in kept1.collect()} | {r.vec_id for r in kept2.collect()}
+
+    # combined single run: verified pairs -> CC -> min-id keepers
+    from illumio_spark.operators.dedup import neardup_components
+
+    pairs = SIM.lsh_neardup_pairs(
+        df, vec_col="embedding", threshold=0.95, n_planes=4, dim=16, n_tables=3
+    )
+    comp = neardup_components(df.select("vec_id"), pairs, "vec_id")
+    comb = {r.vec_id for r in comp.filter("vec_id = component").collect()}
+    assert incr == comb
+    # the straddling near-dups dropped; the batch-2-only pair kept one
+    assert not any(100 <= i < 110 for i in incr)
+    assert (120 in incr) and (121 not in incr)
+    # frontier state: n_tables bucket rows and one vec row per processed doc
+    assert bk2.count() == 12 * 3 and vc2.count() == 12

@@ -719,6 +719,39 @@ def test_incremental_dedup_two_run_frontier(spark, tmp_path):
     assert r3["seen_fps_appended"] == 50
 
 
+def test_cli_seen_frontier_records_processed_not_survivors(spark, tmp_path):
+    """Pins the --seen contract (r6 VERDICT nit 3 / task 8): the
+    fingerprint frontier records every doc the run PROCESSED — including
+    docs a LATER stage (quality filter) dropped — so a future run with a
+    looser threshold cannot resurrect them. Run 1 drops some docs at the
+    c4 stage yet appends fps for all; run 2 with quality OFF still drops
+    everything at the cross-run stage."""
+    import argparse
+
+    from jobs.run_text_pipeline import run
+
+    def mk_args(out, quality):
+        return argparse.Namespace(
+            input=f"{SF}/documents.parquet", output=out,
+            seen=str(tmp_path / "seen"), eval=None, ngram=13,
+            near_dups=False, quality=quality, min_sentences=1,
+            min_alpha_frac=0.8, cut_spans=0, mix_targets=None,
+            pack_len=0, token_budget=0,
+        )
+
+    r1 = run(spark, mk_args(str(tmp_path / "o1"), "c4"))
+    s1 = {s["stage"]: s for s in r1["stages"]}
+    assert s1["c4_quality"]["dropped"] > 0  # quality really dropped docs
+    # frontier covers PROCESSED docs (post-dedup), not final survivors
+    assert r1["seen_fps_appended"] == s1["cross_run_dedup"]["rows_out"]
+    assert r1["seen_fps_appended"] > r1["final_rows"]
+
+    r2 = run(spark, mk_args(str(tmp_path / "o2"), "off"))
+    s2 = {s["stage"]: s for s in r2["stages"]}
+    assert s2["cross_run_dedup"]["rows_out"] == 0  # nothing resurrects
+    assert r2["final_rows"] == 0
+
+
 def test_cli_top_frac_stage(spark, tmp_path):
     """--top-frac wires score-threshold selection into the curation CLI
     (VERDICT r6 task 2): the kept set must equal select_top_frac's

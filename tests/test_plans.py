@@ -298,6 +298,22 @@ def test_incremental_dedup_plan(spark):
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_incremental_neardup_plan(spark):
+    # the frontier join is an equi-join on (band_idx, band_key) — hash
+    # join, never BNLJ/cartesian; the kept-docs decision is semi/anti
+    # joins on ids. CC runs inside (checkpointed), so assert on the two
+    # returned frames' plans
+    from illumio_spark.operators.dedup import band_signatures, incremental_neardup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    seen = band_signatures(docs.filter("doc_id < 20"))
+    kept, new_bands = incremental_neardup(docs.filter("doc_id >= 20"), seen)
+    for df in (kept, new_bands):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_chunk_shard_topfrac_plans(spark):
     # chunker and shard tagging are map-only: zero Exchange of any kind —
     # at 100 TB both ride the input scan's partitioning
