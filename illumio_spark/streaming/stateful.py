@@ -184,3 +184,70 @@ def dedup_stream(
     one micro-batch behind the data (standard Spark semantics)."""
     keys = keys or ["conv_id", "turn_idx"]
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def neardup_stream(
+    stream: DataFrame,
+    frontier_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+):
+    """Streaming NEAR-dup dedup: each micro-batch runs the cross-run
+    frontier operator (dedup.incremental_neardup) against an
+    accumulating signature table, appends the survivors to
+    `output_path`, and advances the frontier — Structured Streaming's
+    micro-batch model IS the "run" boundary of the resume pattern, so
+    foreachBatch + the frontier gives streaming near-duplication the
+    exact batch semantics (min-id keeper within the batch, seen-wins
+    across batches) with no approximation.
+
+    Why not a stateful operator: per-band applyInPandasWithState could
+    flag band collisions, but the keep decision needs a per-DOC verdict
+    over all its bands plus connected components over the collision
+    graph — a second keyed stateful stage, and CC is iterative (not
+    expressible in one state update). foreachBatch runs the proven
+    DataFrame plan per batch instead; state lives in the frontier
+    parquet (n_bands rows per doc ever seen), bounded by corpus size
+    like every dedup frontier.
+
+    Restart discipline (the standard foreachBatch idempotence recipe):
+    survivors land in output_path/batch=<batch_id> with OVERWRITE, so a
+    replayed micro-batch rewrites its own partition instead of
+    duplicating rows; the frontier appends AFTER the output commit, and
+    a replayed frontier append only duplicates band rows, which the
+    next run's union + distinct pair join absorbs — decisions are
+    unaffected (same contract as the batch CLI's after-commit append).
+
+    Returns the StreamingQuery (caller awaits/stops it)."""
+    from pyspark.errors import AnalysisException
+
+    from illumio_spark.operators.dedup import incremental_neardup
+
+    def _one_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            seen = spark.read.parquet(frontier_path)
+        except AnalysisException as e:
+            cls = (e.getCondition() or "") if hasattr(e, "getCondition") else ""
+            if "PATH_NOT_FOUND" not in cls and "Path does not exist" not in str(e):
+                raise
+            seen = None
+        kept, new_bands = incremental_neardup(
+            batch, seen, id_col=id_col, text_col=text_col, hash_fn=hash_fn
+        )
+        kept.write.mode("overwrite").parquet(
+            f"{output_path}/batch={batch_id}"
+        )
+        # frontier advances only after the batch's output is durable —
+        # same commit discipline as the batch CLI's --seen-sigs
+        new_bands.write.mode("append").parquet(frontier_path)
+
+    return (
+        stream.writeStream.foreachBatch(_one_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -220,3 +220,69 @@ def test_curation_map_ops_are_streaming_safe(spark):
     got = spark.read.parquet(out)
     assert got.count() == want.count() > 0
     assert want.exceptAll(got).isEmpty() and got.exceptAll(want).isEmpty()
+
+
+def test_neardup_stream_equals_combined_batch(spark):
+    """Streaming near-dup dedup (foreachBatch + signature frontier): two
+    micro-batches (maxFilesPerTrigger=1, mtime-ordered) must keep
+    exactly what one combined batch run keeps — the run1+run2≡combined
+    contract riding Structured Streaming's micro-batch boundary. Also
+    pins the frontier state on disk (n_bands rows per processed doc)
+    and the per-batch output partitioning (idempotent restart unit)."""
+    import glob
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from illumio_spark.operators.dedup import N_BANDS, neardup_keepers
+    from illumio_spark.streaming.stateful import neardup_stream
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    b1 = docs.filter(F.col("doc_id") < 250)
+    # batch 2: fresh docs plus near-dups of batch-1 content under higher ids
+    b2 = docs.filter(F.col("doc_id") >= 250).unionByName(
+        docs.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+        )
+    )
+    d = tempfile.mkdtemp(prefix="neardup_stream_in_")
+    now = _time.time()
+    for i, b in enumerate((b1, b2)):
+        p = os.path.join(d, f"b{i}")
+        b.coalesce(1).write.parquet(p)
+        f = glob.glob(p + "/part-*.parquet")[0]
+        dst = os.path.join(d, f"f{i}.parquet")
+        shutil.move(f, dst)
+        shutil.rmtree(p)
+        os.utime(dst, (now - 20 + 10 * i, now - 20 + 10 * i))
+
+    base = tempfile.mkdtemp(prefix="neardup_stream_")
+    out, frontier, ckpt = f"{base}/out", f"{base}/frontier", f"{base}/ckpt"
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = neardup_stream(stream, frontier, out, ckpt)
+    q.awaitTermination(300)
+
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    combined = docs.unionByName(
+        docs.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+        )
+    )
+    want = {r.doc_id for r in neardup_keepers(combined, hash_fn="xxhash64").collect()}
+    assert got == want
+    assert not any(i >= 1_000_000 for i in got)  # cross-batch dups dropped
+    # frontier = n_bands rows per PROCESSED doc across both batches
+    assert spark.read.parquet(frontier).count() == combined.count() * N_BANDS
+    # per-batch output partitions exist (the idempotent restart unit)
+    assert sorted(
+        os.path.basename(p) for p in glob.glob(out + "/batch=*")
+    ) == ["batch=0", "batch=1"]
