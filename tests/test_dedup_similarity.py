@@ -492,3 +492,35 @@ def test_incremental_embedding_neardup_equals_combined_run(spark):
     assert (120 in incr) and (121 not in incr)
     # frontier state: n_tables bucket rows and one vec row per processed doc
     assert bk2.count() == 12 * 3 and vc2.count() == 12
+
+
+def test_incremental_neardup_random_split_sweep(spark):
+    """Property-style sweep: random corpora with planted exact/near/chain
+    duplicates, split at random boundaries into two runs — the frontier
+    path must reproduce the combined single run's keeper set at every
+    split. Deterministic seeds; ids monotonic across the split so
+    'seen wins' == 'min id wins'."""
+    import random
+
+    for seed, cut in [(3, 40), (5, 80), (9, 10)]:
+        rng = random.Random(seed)
+        words = [f"w{i}" for i in range(150)]
+        rows = []
+        for i in range(100):
+            n = rng.randint(25, 50)
+            rows.append((i, " ".join(rng.choice(words) for _ in range(n))))
+        # exact dups, near dups, and a 3-link chain across the id space
+        for i in range(0, 20, 2):
+            rows.append((200 + i, rows[i][1]))                # exact dup
+            rows.append((300 + i, rows[i][1] + " xx"))        # near dup
+            rows.append((400 + i, rows[i][1] + " xx yy"))     # chain link
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        b1 = df.filter(F.col("doc_id") < cut)
+        b2 = df.filter(F.col("doc_id") >= cut)
+        kept1, bands1 = D.incremental_neardup(b1, None)
+        kept2, _ = D.incremental_neardup(b2, bands1)
+        incr = {r.doc_id for r in kept1.collect()} | {
+            r.doc_id for r in kept2.collect()
+        }
+        comb = {r.doc_id for r in D.neardup_keepers(df, hash_fn="xxhash64").collect()}
+        assert incr == comb, f"seed={seed} cut={cut}"
