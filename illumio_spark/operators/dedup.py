@@ -429,16 +429,20 @@ def incremental_neardup(
     stay dropped — to the seen table after the batch commits; the append
     is idempotent on (id, band_idx).
 
-    Scale shape: the frontier join shuffles on band keys (8-byte
-    xxhash64), so only documents sharing a band ever meet; seen-seen
-    pairs are never formed (their components were already resolved by
-    the runs that introduced them — restricting edges to >=1-new sides
-    provably preserves both all-new components and new-to-seen
-    reachability, the only two facts the keep decision reads); CC runs
-    on the batch-induced subgraph (new docs + directly-touched seen
-    docs), not the full corpus graph. State is n_bands small rows per
-    document ever processed — the near-dup analog of the minimal
-    exact-dedup frontier."""
+    Scale shape: the batch's band table is checkpointed small, so AQE
+    builds the frontier join as a BroadcastHashJoin with the NEW side
+    as the build (plan-verified at sf0.1: BuildLeft on the band keys) —
+    the history-sized frontier STREAMS through one scan and is never
+    shuffled; per-run cost is O(batch + collisions), not O(history).
+    Only documents sharing a band ever meet; seen-seen pairs are never
+    formed (their components were already resolved by the runs that
+    introduced them — restricting edges to >=1-new sides provably
+    preserves both all-new components and new-to-seen reachability, the
+    only two facts the keep decision reads); CC runs on the
+    batch-induced subgraph (new docs + directly-touched seen docs), not
+    the full corpus graph. State is n_bands small rows per document
+    ever processed — the near-dup analog of the minimal exact-dedup
+    frontier."""
     new_bands = band_signatures(
         new_docs, id_col, text_col, n_hashes, n_bands, hash_fn
     )

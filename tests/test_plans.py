@@ -313,6 +313,34 @@ def test_incremental_neardup_plan(spark):
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    # the 100 TB property: with the frontier on disk and a small batch,
+    # the band join BROADCASTS the new side and STREAMS the frontier —
+    # the history-sized table is scanned once, never shuffled
+    from pyspark.sql import functions as F
+
+    from illumio_spark.operators.dedup import _band_stack  # noqa: F401
+
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="frontier_plan_") + "/fr"
+    band_signatures(docs.filter("doc_id < 400")).write.parquet(d)
+    frontier = spark.read.parquet(d)
+    nb = band_signatures(docs.filter("doc_id >= 400")).localCheckpoint(eager=True)
+    allb = nb.unionByName(frontier.select("doc_id", "band_idx", "band_key"))
+    a = nb.select(F.col("doc_id").alias("id_a"), "band_idx", "band_key")
+    b = allb.select(F.col("doc_id").alias("id_b"), "band_idx", "band_key")
+    pairs = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter("id_a != id_b")
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    pairs.count()  # finalize AQE
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    join_lines = [l for l in plan.splitlines() if "Join" in l]
+    assert any("BroadcastHashJoin" in l and "band_key" in l for l in join_lines), join_lines
+    assert not any("SortMergeJoin" in l for l in join_lines), join_lines
+
 
 def test_chunk_shard_topfrac_plans(spark):
     # chunker and shard tagging are map-only: zero Exchange of any kind —
