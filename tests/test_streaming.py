@@ -286,3 +286,51 @@ def test_neardup_stream_equals_combined_batch(spark):
     assert sorted(
         os.path.basename(p) for p in glob.glob(out + "/batch=*")
     ) == ["batch=0", "batch=1"]
+
+
+def test_neardup_stream_merges_path_captures_bridge(spark):
+    """merges_path surfaces retroactive bridge merges per micro-batch:
+    batch 1 emits A and B (not similar), batch 2's bridge doc C links
+    them — the stream cannot retract B (superset contract), but
+    merges/batch=1 records seen docs {A, B} as one merged component for
+    downstream compaction."""
+    import glob
+    import shutil
+    import time as _time
+
+    from illumio_spark.streaming.stateful import neardup_stream
+    from tests.test_dedup_similarity import _bridge_triple
+
+    a, b, c = _bridge_triple()
+    b1 = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    b2 = spark.createDataFrame([(10, c)], "doc_id long, text string")
+    d = tempfile.mkdtemp(prefix="neardup_stream_mrg_in_")
+    now = _time.time()
+    for i, df in enumerate((b1, b2)):
+        p = os.path.join(d, f"b{i}")
+        df.coalesce(1).write.parquet(p)
+        f = glob.glob(p + "/part-*.parquet")[0]
+        shutil.move(f, os.path.join(d, f"f{i}.parquet"))
+        shutil.rmtree(p)
+        os.utime(
+            os.path.join(d, f"f{i}.parquet"),
+            (now - 20 + 10 * i, now - 20 + 10 * i),
+        )
+    base = tempfile.mkdtemp(prefix="neardup_stream_mrg_")
+    out, frontier, ckpt, mrg = (
+        f"{base}/out", f"{base}/frontier", f"{base}/ckpt", f"{base}/merges"
+    )
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = neardup_stream(stream, frontier, out, ckpt, merges_path=mrg)
+    q.awaitTermination(300)
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 2}  # B already emitted; C dropped
+    m0 = spark.read.parquet(f"{mrg}/batch=0")
+    assert m0.count() == 0
+    m1 = spark.read.parquet(f"{mrg}/batch=1").collect()
+    assert {r.doc_id for r in m1} == {1, 2}
+    assert len({r.component for r in m1}) == 1
