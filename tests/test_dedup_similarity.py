@@ -600,3 +600,50 @@ def test_incremental_neardup_reports_seen_merges(spark):
     )
     _, _, merges3 = D.incremental_neardup(b3, bands1, report_seen_merges=True)
     assert merges3.count() == 0
+
+
+def test_compact_frontier_retracts_bridge_merge(spark):
+    """Compaction closes the incremental-vs-combined gap: after the
+    bridge batches emit {A, B}, full CC over the persisted band table
+    returns canonical {A} and retraction (B → A) — removing retractions
+    from the emitted set reproduces the combined run exactly."""
+    a, b, c = _bridge_triple()
+    b1 = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    b2 = spark.createDataFrame([(10, c)], "doc_id long, text string")
+    kept1, bands1 = D.incremental_neardup(b1, None)
+    kept2, bands2 = D.incremental_neardup(b2, bands1)
+    frontier = bands1.unionByName(bands2)
+    emitted = kept1.select("doc_id").unionByName(kept2.select("doc_id"))
+    canonical, retractions = D.compact_neardup_frontier(frontier, emitted)
+    assert {r.doc_id for r in canonical.collect()} == {1}
+    rets = retractions.collect()
+    assert [(r.doc_id, r.component) for r in rets] == [(2, 1)]
+    emitted_ids = {r.doc_id for r in emitted.collect()}
+    df = b1.unionByName(b2)
+    comb = {r.doc_id for r in D.neardup_keepers(df, hash_fn="xxhash64").collect()}
+    assert emitted_ids - {r.doc_id for r in rets} == comb
+
+
+def test_compact_frontier_equals_combined_keepers(spark):
+    """On a real corpus: canonical ids from the band table alone equal
+    neardup_keepers over the raw text (compaction never re-reads text),
+    and duplicated band rows (idempotent frontier re-appends) change
+    nothing."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    bands = D.band_signatures(docs)
+    want = {r.doc_id for r in D.neardup_keepers(docs, hash_fn="xxhash64").collect()}
+    got = {
+        r.doc_id for r in D.compact_neardup_frontier(bands).collect()
+    }
+    assert got == want
+    doubled = bands.unionByName(bands)  # replayed append
+    got2 = {
+        r.doc_id for r in D.compact_neardup_frontier(doubled).collect()
+    }
+    assert got2 == want
+    # no-bridge frontier: zero retractions against its own keeper set
+    emitted = D.neardup_keepers(docs, hash_fn="xxhash64").select("doc_id")
+    _, rets = D.compact_neardup_frontier(bands, emitted)
+    assert rets.count() == 0
