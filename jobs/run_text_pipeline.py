@@ -64,6 +64,12 @@ count action re-executes stages 1..N-1, O(stages²) total work at scale):
   10. chunked output   — --chunk-output PATH --chunk-tokens N
                          [--chunk-overlap K]: sliding-window chunks of
                          the cleaned corpus (chunk_documents; map-only)
+
+Maintenance mode (no stages run): --compact-sigs --seen-sigs PATH
+--input <glob of prior cleaned outputs> --output DIR runs full CC over
+the signature frontier (compact_neardup_frontier) and writes canonical/
+and retractions/ — the periodic job that resolves the retroactive
+bridge merges no incremental run can (see incremental_neardup).
 """
 
 from __future__ import annotations
@@ -82,6 +88,34 @@ def run(spark, args) -> dict:
 
     from illumio_spark.functions import text as TX
     from illumio_spark.operators import dedup as D
+
+    # maintenance mode: --compact-sigs resolves the retroactive bridge
+    # merges the per-run frontier path cannot (incremental_neardup's
+    # contract) — full CC over the signature frontier, writing canonical
+    # keeper ids and retractions of previously-emitted docs. Run it
+    # periodically between pipeline runs; spark.read of --input may glob
+    # several prior runs' cleaned outputs (the emitted set).
+    if getattr(args, "compact_sigs", False):
+        sigs = getattr(args, "seen_sigs", None)
+        if not sigs:
+            raise SystemExit("--compact-sigs requires --seen-sigs PATH")
+        bands = spark.read.parquet(sigs)
+        emitted = spark.read.parquet(args.input).select("doc_id")
+        canonical, retractions = D.compact_neardup_frontier(bands, emitted)
+        canonical = canonical.localCheckpoint(eager=True)
+        retractions = retractions.localCheckpoint(eager=True)
+        canonical.write.mode("overwrite").parquet(f"{args.output}/canonical")
+        retractions.write.mode("overwrite").parquet(
+            f"{args.output}/retractions"
+        )
+        return {
+            "compact": {
+                "frontier_band_rows": bands.count(),
+                "emitted_rows": emitted.count(),
+                "canonical_rows": canonical.count(),
+                "retraction_rows": retractions.count(),
+            }
+        }
 
     report: dict = {"stages": []}
     n_prev: list[int] = [0]
@@ -404,6 +438,13 @@ def main() -> None:
                          "this run's bands are appended after the output "
                          "commits. Like --seen, the frontier records every "
                          "PROCESSED doc, not just survivors")
+    ap.add_argument("--compact-sigs", action="store_true",
+                    help="maintenance mode: full CC over the --seen-sigs "
+                         "frontier; --input = parquet (glob) of prior "
+                         "runs' emitted docs; writes canonical ids and "
+                         "retractions (emitted docs whose component got "
+                         "a smaller keeper via a later bridge doc) under "
+                         "--output, then exits — no pipeline stages run")
     ap.add_argument("--cut-spans", type=int, default=0, metavar="K",
                     help="excise verbatim K-token spans from the higher-id "
                          "doc of each sharing pair (0 = off)")

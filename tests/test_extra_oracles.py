@@ -843,6 +843,51 @@ def test_incremental_neardup_cli_two_run_frontier(spark, tmp_path):
     assert [r.doc_id for r in kept.collect()] == [999_999]
 
 
+def test_compact_sigs_cli_retracts_bridge(spark, tmp_path):
+    """CLI --compact-sigs maintenance mode: two --seen-sigs runs emit
+    {A, B} (batch 2's bridge doc C links them, too late to retract);
+    compaction over the frontier + the emitted outputs writes canonical
+    {A} and the retraction (B → A), and runs NO pipeline stages."""
+    import argparse
+
+    from jobs.run_text_pipeline import run
+    from tests.test_dedup_similarity import _bridge_triple
+
+    def mk_args(inp, out, compact=False):
+        return argparse.Namespace(
+            input=inp, output=out, seen=None, seen_sigs=str(tmp_path / "sigs"),
+            eval=None, ngram=13, near_dups=True, quality="off",
+            min_sentences=0, min_alpha_frac=0.8, cut_spans=0,
+            mix_targets=None, pack_len=0, token_budget=0,
+            compact_sigs=compact,
+        )
+
+    a, b, c = _bridge_triple()
+    in1, in2 = str(tmp_path / "in1"), str(tmp_path / "in2")
+    spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    ).write.parquet(in1)
+    spark.createDataFrame([(10, c)], "doc_id long, text string").write.parquet(in2)
+    r1 = run(spark, mk_args(in1, str(tmp_path / "o1")))
+    r2 = run(spark, mk_args(in2, str(tmp_path / "o2")))
+    assert {s["stage"]: s for s in r1["stages"]}["cross_run_neardup"]["rows_out"] == 2
+    assert {s["stage"]: s for s in r2["stages"]}["cross_run_neardup"]["rows_out"] == 0
+
+    # maintenance pass: emitted = glob of both runs' cleaned outputs
+    rep = run(
+        spark,
+        mk_args(f"{tmp_path}/o*", str(tmp_path / "compacted"), compact=True),
+    )
+    assert "stages" not in rep
+    assert rep["compact"]["emitted_rows"] == 2
+    assert rep["compact"]["canonical_rows"] == 1
+    assert rep["compact"]["retraction_rows"] == 1
+    rets = spark.read.parquet(str(tmp_path / "compacted/retractions")).collect()
+    assert [(r.doc_id, r.component) for r in rets] == [(2, 1)]
+    canon = spark.read.parquet(str(tmp_path / "compacted/canonical")).collect()
+    assert [r.doc_id for r in canon] == [1]
+
+
 def test_incremental_dedup_null_text_fingerprint(spark):
     """md5(NULL) is NULL and NULL keys never anti-join-match, so without
     the sentinel a NULL-text doc would survive the seen check and append
