@@ -302,11 +302,18 @@ def incremental_embedding_neardup(
     the all-vs-all of history); pairs verified at cosine >= threshold;
     connected components over the verified edges (transitivity-correct);
     a new doc survives iff its component touches no seen doc and it is
-    the component's min-id member — 'seen wins', equal to a combined
-    single run when ids grow monotonically (pytest-asserted). Bucket
-    assignment is seed-deterministic, so a vector's buckets are
-    identical in every run — cross-run candidates equal combined-run
-    candidates exactly.
+    the component's min-id member — 'seen wins'. Bucket assignment is
+    seed-deterministic, so a vector's buckets are identical in every
+    run — cross-run candidates equal combined-run candidates exactly.
+
+    Contract vs a combined single run (ids monotone, pytest-asserted
+    both ways, same as dedup.incremental_neardup): the incremental
+    keeper set is a SUPERSET of the combined run's, equal unless a
+    later batch holds a BRIDGE vector within `threshold` of two
+    earlier-emitted keepers that aren't within threshold of each other
+    — the combined run merges their components retroactively; emitted
+    output can't be retracted. compact_embedding_frontier is the
+    periodic maintenance job that resolves those merges.
 
     Scale shape: the frontier join shuffles on compact (tbl, bucket)
     keys and moves ID PAIRS only; vectors re-attach by id equi-join for
@@ -381,6 +388,70 @@ def incremental_embedding_neardup(
         keep = keep.join(seen_comps, "component", "left_anti")
     kept = new_df.join(keep.select(id_col), id_col, "left_semi")
     return kept, nb, new_df.select(id_col, vec_col)
+
+
+def compact_embedding_frontier(
+    seen_buckets: DataFrame,
+    seen_vecs: DataFrame,
+    emitted: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    max_iters: int = 20,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
+    """Periodic compaction of the embedding near-dup frontier — the
+    similarity-family analog of dedup.compact_neardup_frontier: full CC
+    over ALL processed vectors from the persisted state alone (bucket
+    table + vector table; embeddings are never recomputed), returning
+    canonical keeper ids and, given `emitted`, retractions — emitted
+    vectors whose global component gained a smaller keeper through a
+    later bridge vector. Removing retractions converges the rolling
+    corpus onto the combined-run keeper set.
+
+    Scale shape: candidates come from the (tbl, bucket) self-equi-join
+    with one reused exchange. Unlike the minhash frontier, star-edge
+    reduction CANNOT apply — bucket co-residence is only a candidate
+    signal here, every edge must pass the exact cosine >= threshold
+    verify, and A-min / B-min may both fail where A-B passes. The honest
+    cost is sum(bucket_size²) over hot buckets, the knob for which is
+    the LSH design (n_planes/n_tables at signature time); vectors
+    re-attach by id for candidates only (the shuffle moves id pairs, not
+    vector payloads)."""
+    from illumio_spark.operators.dedup import neardup_components
+
+    b = seen_buckets.select(id_col, "tbl", "bucket").distinct()
+    b = b.repartition("tbl", "bucket")
+    x = b.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
+    y = b.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
+    cand = (
+        x.join(y, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    v = seen_vecs.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).distinct()
+    va = v.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"))
+    vb = v.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb"))
+    verified = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .select("id_a", "id_b")
+    )
+    nodes = b.select(id_col).distinct()
+    comp = neardup_components(nodes, verified, id_col, max_iters=max_iters)
+    canonical = comp.filter(F.col(id_col) == F.col("component")).select(id_col)
+    if emitted is None:
+        return canonical
+    retractions = (
+        emitted.select(id_col)
+        .join(comp, id_col)
+        .filter(F.col(id_col) != F.col("component"))
+        .select(id_col, "component")
+    )
+    return canonical, retractions
 
 
 def ivf_train_centroids(

@@ -494,6 +494,84 @@ def test_incremental_embedding_neardup_equals_combined_run(spark):
     assert bk2.count() == 12 * 3 and vc2.count() == 12
 
 
+def _bridge_vectors():
+    """Deterministic (a, b, c) in R16 with cos(a,b) = 0.7 < 0.9 but
+    cos(c,a) = cos(c,b) = sqrt(1.7/2) ≈ 0.922 >= 0.9 — c is the
+    normalized midpoint, the embedding-space bridge."""
+    import math
+
+    a = [1.0] + [0.0] * 15
+    b = [0.7, math.sqrt(1 - 0.49)] + [0.0] * 14
+    n = math.sqrt(sum((x + y) ** 2 for x, y in zip(a, b)))
+    c = [(x + y) / n for x, y in zip(a, b)]
+    return a, b, c
+
+
+def test_incremental_embedding_bridge_divergence_and_compaction(spark):
+    """The embedding twin of the minhash bridge pin: batch 1 emits
+    vectors A and B (cosine 0.7, correctly both kept at threshold 0.9);
+    batch 2's midpoint C is within threshold of both — a combined run
+    keeps only A, the incremental run has already emitted B (superset
+    contract). compact_embedding_frontier then resolves it purely from
+    persisted state: canonical {A}, retraction (B → A)."""
+    a, b, c = _bridge_vectors()
+    kw = dict(threshold=0.9, n_planes=4, dim=16, n_tables=3)
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (10, c)], "vec_id long, embedding array<double>"
+    )
+    # precondition: one combined run over all three keeps only A —
+    # i.e. both bridge edges bucket-collide AND cosine-verify
+    kept_all, _, _ = SIM.incremental_embedding_neardup(df, None, None, **kw)
+    assert {r.vec_id for r in kept_all.collect()} == {1}
+    # and A alone vs B alone are NOT near-dups
+    both = spark.createDataFrame(
+        [(1, a), (2, b)], "vec_id long, embedding array<double>"
+    )
+    kept_ab, bk1, vc1 = SIM.incremental_embedding_neardup(both, None, None, **kw)
+    assert {r.vec_id for r in kept_ab.collect()} == {1, 2}
+    # two-run split: C arrives after both were emitted
+    b2 = spark.createDataFrame([(10, c)], "vec_id long, embedding array<double>")
+    kept2, bk2, vc2 = SIM.incremental_embedding_neardup(b2, bk1, vc1, **kw)
+    assert kept2.count() == 0  # C touches seen; still drops
+    incr = {1, 2}  # emitted across both runs — superset of combined {1}
+    # compaction from persisted state alone
+    buckets = bk1.unionByName(bk2)
+    vecs = vc1.unionByName(vc2)
+    emitted = spark.createDataFrame([(1,), (2,)], "vec_id long")
+    canonical, rets = SIM.compact_embedding_frontier(
+        buckets, vecs, emitted, threshold=0.9
+    )
+    assert {r.vec_id for r in canonical.collect()} == {1}
+    rr = rets.collect()
+    assert [(r.vec_id, r.component) for r in rr] == [(2, 1)]
+    assert incr - {r.vec_id for r in rr} == {1}
+
+
+def test_compact_embedding_frontier_no_bridge_no_retractions(spark):
+    """Compaction over a clustered corpus's full frontier equals the
+    combined-run keeper set and retracts nothing when emitted == that
+    set; duplicated state rows (idempotent re-appends) change nothing."""
+    rng = np.random.Generator(np.random.PCG64(11))
+    base = rng.standard_normal((30, 16))
+    rows = [(i, base[i].tolist()) for i in range(30)]
+    for i in range(10):
+        rows.append((100 + i, (base[i] + 0.01 * rng.standard_normal(16)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(threshold=0.95, n_planes=4, dim=16, n_tables=3)
+    kept, bk, vc = SIM.incremental_embedding_neardup(df, None, None, **kw)
+    want = {r.vec_id for r in kept.collect()}
+    got = {
+        r.vec_id
+        for r in SIM.compact_embedding_frontier(bk, vc, threshold=0.95).collect()
+    }
+    assert got == want
+    doubled_b, doubled_v = bk.unionByName(bk), vc.unionByName(vc)
+    _, rets = SIM.compact_embedding_frontier(
+        doubled_b, doubled_v, kept.select("vec_id"), threshold=0.95
+    )
+    assert rets.count() == 0
+
+
 def test_incremental_neardup_random_split_sweep(spark):
     """Property-style sweep: random corpora with planted exact/near/chain
     duplicates, split at random boundaries into two runs — the frontier
