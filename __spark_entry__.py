@@ -30,6 +30,10 @@ PRIORITY = [
     # driver gate (out: td_resize_stats, td_token_percentiles,
     # td_frame_sample — driver-green r5-r6, now in
     # tests/test_retired_queries.py)
+    # late r7: frontier compaction crosses the gate (out: td_ann_lsh_topk,
+    # driver-green r4-r7, now in tests/test_retired_queries.py) — the row
+    # also pins star-edge CC == pairwise transitive closure cross-engine
+    "td_compact_frontier",  # canonical keepers from persisted bands (new r7)
     "td_incremental_neardup",  # minhash-LSH signature frontier (new r7)
     "td_cut_spans",  # rebuilt text after span excision (new r7)
     "td_split_grouped",  # cluster-coherent train/val/test (new r7)

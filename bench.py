@@ -66,6 +66,7 @@ HEADLINE = [
     "td_incremental_neardup",
     "td_cut_spans",
     "td_split_grouped",
+    "td_compact_frontier",
 ]
 
 
@@ -122,7 +123,17 @@ def bench_overrides() -> dict:
         "td_incremental_neardup": _incremental_neardup_fast,
         "td_cut_spans": _cut_spans_fast,
         "td_split_grouped": _split_grouped_fast,
+        # r7: frontier compaction (star-edge CC) on the engine-default hash
+        "td_compact_frontier": _compact_frontier_fast,
     }
+
+
+def _compact_frontier_fast(spark, sf_dir):
+    from illumio_spark.operators import dedup as D
+    from illumio_spark.queries.catalog_td import _neardup_corpus
+
+    bands = D.band_signatures(_neardup_corpus(spark, sf_dir), hash_fn="xxhash64")
+    return D.compact_neardup_frontier(bands)
 
 
 def _incremental_neardup_fast(spark, sf_dir):

@@ -310,7 +310,10 @@ def _ann_lsh_sql(n_planes: int = 4, dim: int = 64, n_tables: int = 3, k: int = 1
     """
 
 
-@q("td_ann_lsh_topk", _ann_lsh_sql())
+# td_ann_lsh_topk was driver-green r4-r7 with unchanged code; rotated out
+# r7 for td_compact_frontier (two ANN rows — cosine and IVF — stay under
+# the gate). Still oracle-checked every pytest run via
+# tests/test_retired_queries.py.
 def td_ann_lsh_topk(spark, sf_dir):
     # bucketed approximate ANN, fully cross-engine-checked: identical seeded
     # hyperplanes on both sides (recall-vs-exact asserted separately in pytest)
@@ -1732,6 +1735,51 @@ def td_incremental_neardup(spark, sf_dir):
         new, seen_bands, hash_fn="md5"
     )
     return kept.select("doc_id")
+
+
+# --- r7: frontier compaction crosses the driver gate ------------------------
+# (The periodic maintenance job resolving retroactive bridge merges; this
+# row additionally cross-engine-checks the STAR-EDGE reduction — Spark CC
+# runs on per-bucket stars to the bucket minimum, DuckDB computes the
+# transitive closure over the full PAIRWISE candidate list, and the keeper
+# sets must agree exactly. Replaces the rotated td_ann_lsh_topk slot.)
+
+_COMPACT_FRONTIER_SQL = f"""
+    WITH RECURSIVE
+    corpus AS ({_NEARDUP_SQL_CORPUS}),
+    pairs AS (SELECT * FROM ({LSH_PAIRS_SQL})),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS m FROM reach GROUP BY src)
+    SELECT c.doc_id FROM (SELECT doc_id FROM corpus) c
+    LEFT JOIN comp USING (doc_id)
+    WHERE LEAST(doc_id, COALESCE(m, doc_id)) = doc_id
+"""
+
+
+@q("td_compact_frontier", _COMPACT_FRONTIER_SQL)
+def td_compact_frontier(spark, sf_dir):
+    """Frontier compaction (new r7): canonical near-dup keepers computed
+    from the PERSISTED band table alone — compact_neardup_frontier runs
+    connected components over star edges (each band bucket contributes
+    M-1 edges to its minimum id, never the M²/2 pairwise fan-out) with
+    no access to document text. The DuckDB oracle recomputes the
+    combined-run transitive closure over the full pairwise candidate
+    list, so this row pins star ≡ pairwise component equality
+    cross-engine on every driver run. md5 oracle-parity signatures;
+    xxhash64 is the engine default at scale (outputs pytest-asserted
+    equal; 508 k-doc compaction benched in BENCH/compact_frontier.json)."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    bands = D.band_signatures(corpus, hash_fn="md5")
+    return D.compact_neardup_frontier(bands).select("doc_id")
 
 
 # --- r7: ExactSubstr REMEDIATION output crosses the driver gate ------------

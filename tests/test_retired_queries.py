@@ -9,7 +9,7 @@ import pytest
 SF = "/root/testdata/sf0.001"
 TABLES = [
     "events", "documents", "orders", "lineitem", "customer",
-    "supplier", "nation", "region",
+    "supplier", "nation", "region", "embeddings",
 ]
 
 
@@ -221,3 +221,12 @@ def test_td_frame_sample_matches_oracle(spark):
     from illumio_spark.queries.catalog_td import _FRAME_SAMPLE_SQL, td_frame_sample
 
     _compare(td_frame_sample(spark, SF), _FRAME_SAMPLE_SQL)
+
+
+# --- rotated out in r7 for the frontier-compaction row ---------------------
+
+
+def test_td_ann_lsh_topk_matches_oracle(spark):
+    from illumio_spark.queries.catalog_td import _ann_lsh_sql, td_ann_lsh_topk
+
+    _compare(td_ann_lsh_topk(spark, SF), _ann_lsh_sql())
