@@ -342,6 +342,64 @@ def test_incremental_neardup_plan(spark):
     assert not any("SortMergeJoin" in l for l in join_lines), join_lines
 
 
+def test_compact_frontier_plan_and_star_equivalence(spark):
+    """Frontier compaction: (1) the plan never degrades to a cartesian
+    or BNLJ; (2) star edges feed CC at most one edge per band row (the
+    no-quadratic-fan-out property); (3) randomized sweep — star-edge
+    components equal pairwise-closure components on corpora with planted
+    exact dups, near dups, chains, and hot boilerplate buckets."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from illumio_spark.operators.dedup import (
+        _band_star_edges,
+        band_signatures,
+        compact_neardup_frontier,
+        minhash_lsh_pairs,
+        neardup_components,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    bands = band_signatures(docs)
+    canonical = compact_neardup_frontier(bands)
+    plan = _plan(canonical)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # star bound: |edges| <= |band rows| (pairwise would be ~sum M²/2)
+    n_edges = _band_star_edges(
+        bands.select("doc_id", "band_idx", "band_key").distinct(), "doc_id"
+    ).count()
+    assert n_edges <= bands.count()
+
+    for seed in (1, 7):
+        rng = random.Random(seed)
+        words = [f"w{i}" for i in range(120)]
+        rows = []
+        for i in range(60):
+            rows.append((i, " ".join(rng.choice(words) for _ in range(30))))
+        for i in range(0, 20, 2):
+            rows.append((200 + i, rows[i][1]))            # exact dup
+            rows.append((300 + i, rows[i][1] + " xx"))    # near dup
+            rows.append((400 + i, rows[i][1] + " xx yy"))  # chain link
+        # hot boilerplate bucket: 25 copies of one doc (the M² trap)
+        for j in range(25):
+            rows.append((500 + j, rows[1][1]))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        b = band_signatures(df)
+        star = {
+            r.doc_id
+            for r in compact_neardup_frontier(b).collect()
+        }
+        pw_pairs = minhash_lsh_pairs(df, hash_fn="xxhash64")
+        comp = neardup_components(df.select("doc_id"), pw_pairs)
+        pw = {
+            r.doc_id
+            for r in comp.filter(F.col("doc_id") == F.col("component")).collect()
+        }
+        assert star == pw, f"seed={seed}: {len(star)} vs {len(pw)}"
+
+
 def test_chunk_shard_topfrac_plans(spark):
     # chunker and shard tagging are map-only: zero Exchange of any kind —
     # at 100 TB both ride the input scan's partitioning
