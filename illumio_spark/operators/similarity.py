@@ -315,11 +315,13 @@ def incremental_embedding_neardup(
     output can't be retracted. compact_embedding_frontier is the
     periodic maintenance job that resolves those merges.
 
-    Scale shape: the frontier join shuffles on compact (tbl, bucket)
-    keys and moves ID PAIRS only; vectors re-attach by id equi-join for
-    candidates alone (the ~60:1 shuffle-weight discipline of
-    lsh_neardup_pairs); CC runs on the batch-induced subgraph. Per-run
-    cost is O(batch + collisions), never O(history)."""
+    Scale shape: buckets holding no new doc are semi-join-pruned before
+    any vector moves, so per-run cost is O(batch + collisions), never
+    O(history); candidate generation + exact verify run as ONE
+    per-bucket blocked numpy matmul (bucket_verified_pairs, new-vs-all
+    mask) — each touched vector crosses Arrow once per bucket
+    membership instead of once per candidate pair; CC runs on the
+    batch-induced subgraph."""
     from illumio_spark.operators.dedup import neardup_components
 
     ev = new_df.select(
@@ -337,20 +339,6 @@ def incremental_embedding_neardup(
         all_b = nb.unionByName(
             seen_buckets.select(id_col, "tbl", "bucket")
         )
-    a, b = nb.alias("a"), all_b.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .distinct()
-    )
     if seen_vecs is None:
         all_v = ev
     else:
@@ -359,13 +347,23 @@ def incremental_embedding_neardup(
                 F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
             )
         )
-    va = all_v.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"))
-    vb = all_v.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb"))
-    verified = (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
-        .select("id_a", "id_b")
+    # candidates + verify as ONE per-bucket blocked matmul (new rows ×
+    # all rows), restricted to buckets holding at least one new doc —
+    # the join-then-verify form materializes every candidate pair with
+    # both vector payloads and runs the cosine as an interpreted
+    # aggregate expression (measured 54× slower at 200k vectors,
+    # BENCH/compact_embedding.json)
+    new_keys = nb.select("tbl", "bucket").distinct()
+    new_flag = nb.select(id_col).distinct().withColumn("__new", F.lit(True))
+    bv = (
+        all_b.join(new_keys, ["tbl", "bucket"], "left_semi")
+        .join(all_v, id_col)
+        .join(new_flag, id_col, "left")
+        .withColumn("__new", F.coalesce(F.col("__new"), F.lit(False)))
+    )
+    verified = bucket_verified_pairs(
+        bv, id_col=id_col, vec_col="__v", threshold=threshold,
+        probe_col="__new",
     )
     new_ids = new_df.select(id_col)
     nodes = (
@@ -390,6 +388,80 @@ def incremental_embedding_neardup(
     return kept, nb, new_df.select(id_col, vec_col)
 
 
+def bucket_verified_pairs(
+    bucketed: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "__v",
+    threshold: float = 0.9,
+    block: int = 1024,
+    probe_col: str | None = None,
+) -> DataFrame:
+    """(tbl, bucket, id, vec) rows → exact-cosine-verified candidate
+    pairs (id_a < id_b), computed per bucket with a BLOCKED numpy
+    matmul inside applyInPandas instead of materializing the pairwise
+    join. Why: a bucket of M members implies M²/2 candidate pairs, and
+    the join-then-verify form ships both vectors with EVERY pair (~1 KB
+    per pair at dim 64) through an interpreted aggregate/zip_with
+    cosine; this form moves each vector once per bucket through Arrow
+    and verifies with C-speed matmul. Row blocks of `block` bound the
+    in-UDF matrix at block×M, so a hot bucket costs memory linear in M.
+    Zero-norm vectors normalize to NaN and never pass the >= threshold
+    comparison — same outcome as the expression form's try_divide NULL.
+    Cross-table duplicate pairs are distinct-ed here.
+
+    probe_col (boolean column) restricts the matmul's ROW side to
+    flagged members — the new-vs-all shape of the incremental frontier:
+    probe × all instead of all × all, emitting exactly the >=1-probe
+    pairs. Without it, the full upper triangle."""
+    from collections.abc import Iterator  # noqa: F401
+
+    import pandas as pd
+
+    empty = {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+    cols = ["tbl", "bucket", id_col, vec_col] + (
+        [probe_col] if probe_col else []
+    )
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(empty)
+        ids = pdf[id_col].to_numpy()
+        V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            U = V / norms[:, None]
+        if probe_col is None:
+            P, pids, triangle = U, ids, True
+        else:
+            mask = pdf[probe_col].to_numpy().astype(bool)
+            if not mask.any():
+                return pd.DataFrame(empty)
+            P, pids, triangle = U[mask], ids[mask], False
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for s in range(0, len(P), block):
+            sims = P[s : s + block] @ U.T
+            with np.errstate(invalid="ignore"):
+                ii, jj = np.nonzero(sims >= threshold)
+            ia, ib = pids[ii + s], ids[jj]
+            keep = (ia < ib) if triangle else (ia != ib)
+            if keep.any():
+                out_a.append(np.minimum(ia[keep], ib[keep]))
+                out_b.append(np.maximum(ia[keep], ib[keep]))
+        if not out_a:
+            return pd.DataFrame(empty)
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)})
+
+    return (
+        bucketed.select(*cols)
+        .groupBy("tbl", "bucket")
+        .applyInPandas(fn, "id_a long, id_b long")
+        .distinct()
+    )
+
+
 def compact_embedding_frontier(
     seen_buckets: DataFrame,
     seen_vecs: DataFrame,
@@ -408,37 +480,28 @@ def compact_embedding_frontier(
     later bridge vector. Removing retractions converges the rolling
     corpus onto the combined-run keeper set.
 
-    Scale shape: candidates come from the (tbl, bucket) self-equi-join
-    with one reused exchange. Unlike the minhash frontier, star-edge
-    reduction CANNOT apply — bucket co-residence is only a candidate
-    signal here, every edge must pass the exact cosine >= threshold
-    verify, and A-min / B-min may both fail where A-B passes. The honest
-    cost is sum(bucket_size²) over hot buckets, the knob for which is
-    the LSH design (n_planes/n_tables at signature time); vectors
-    re-attach by id for candidates only (the shuffle moves id pairs, not
-    vector payloads)."""
+    Scale shape: unlike the minhash frontier, star-edge reduction CANNOT
+    apply — bucket co-residence is only a candidate signal here, every
+    edge must pass the exact cosine >= threshold verify, and A-min /
+    B-min may both fail where A-B passes. The intrinsic cost is
+    sum(bucket_size²) dot products, the knob for which is the LSH
+    design (n_planes/n_tables at signature time) — but the CONSTANT
+    matters: verification runs as a per-bucket blocked numpy matmul
+    (bucket_verified_pairs), never as a materialized M²/2-row pair join
+    that ships two vector payloads per pair through an interpreted
+    aggregate expression. Measured at 200 k vectors / 1024-slot tables
+    (identical bucket occupancy): the join-then-verify form took 548 s;
+    the per-bucket matmul form 10.1 s — 54×, and 10× data now costs
+    1.53× time (BENCH/compact_embedding.json)."""
     from illumio_spark.operators.dedup import neardup_components
 
     b = seen_buckets.select(id_col, "tbl", "bucket").distinct()
-    b = b.repartition("tbl", "bucket")
-    x = b.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
-    y = b.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
-    cand = (
-        x.join(y, ["tbl", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
     v = seen_vecs.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     ).distinct()
-    va = v.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"))
-    vb = v.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb"))
-    verified = (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
-        .select("id_a", "id_b")
+    bv = b.join(v, id_col)  # each vector moves once per bucket membership
+    verified = bucket_verified_pairs(
+        bv, id_col=id_col, vec_col="__v", threshold=threshold
     )
     nodes = b.select(id_col).distinct()
     comp = neardup_components(nodes, verified, id_col, max_iters=max_iters)

@@ -572,6 +572,53 @@ def test_compact_embedding_frontier_no_bridge_no_retractions(spark):
     assert rets.count() == 0
 
 
+def test_bucket_verified_pairs_equals_expression_verify(spark):
+    """The per-bucket blocked-matmul verifier must emit exactly the
+    pairs the join-then-cosine-expression form does — including with a
+    block size smaller than the bucket (the hot-bucket memory path) and
+    a zero vector (NaN-normalized, never passes)."""
+    rng = np.random.Generator(np.random.PCG64(5))
+    rows = []
+    for c in range(6):
+        base = rng.standard_normal(16)
+        base /= np.linalg.norm(base)
+        for j in range(8):
+            v = base + 0.1 / 4.0 * rng.standard_normal(16)
+            rows.append((c * 10 + j, (v / np.linalg.norm(v)).tolist()))
+    rows.append((999, [0.0] * 16))  # zero vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ev = df.select("vec_id", F.col("embedding").cast("array<double>").alias("__v"))
+    bucketed = SIM._bucketed_long(ev, "vec_id", "__v", 4, 16, 3).select(
+        "vec_id", "tbl", "bucket", "__v"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in SIM.bucket_verified_pairs(
+            bucketed, threshold=0.9, block=5
+        ).collect()
+    }
+    a = bucketed.select(
+        F.col("vec_id").alias("id_a"), "tbl", "bucket",
+        F.col("__v").alias("va"),
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("id_b"), "tbl", "bucket",
+        F.col("__v").alias("vb"),
+    )
+    want = {
+        (r.id_a, r.id_b)
+        for r in (
+            a.join(b, ["tbl", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(SIM.cosine(F.col("va"), F.col("vb")) >= 0.9)
+            .select("id_a", "id_b")
+            .distinct()
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    assert not any(999 in p for p in got)
+
+
 def test_incremental_neardup_random_split_sweep(spark):
     """Property-style sweep: random corpora with planted exact/near/chain
     duplicates, split at random boundaries into two runs — the frontier

@@ -224,11 +224,13 @@ def test_curation_map_ops_are_streaming_safe(spark):
 
 def test_neardup_stream_equals_combined_batch(spark):
     """Streaming near-dup dedup (foreachBatch + signature frontier): two
-    micro-batches (maxFilesPerTrigger=1, mtime-ordered) must keep
-    exactly what one combined batch run keeps — the run1+run2≡combined
-    contract riding Structured Streaming's micro-batch boundary. Also
-    pins the frontier state on disk (n_bands rows per processed doc)
-    and the per-batch output partitioning (idempotent restart unit)."""
+    micro-batches (maxFilesPerTrigger=1, mtime-ordered) keep exactly
+    what one combined batch run keeps — equality holds here because this
+    corpus's near-dups all collide with their originals directly; the
+    general contract is superset-with-bridge-divergence, pinned by
+    test_neardup_stream_merges_path_captures_bridge below. Also pins the
+    frontier state on disk (n_bands rows per processed doc) and the
+    per-batch output partitioning (idempotent restart unit)."""
     import glob
     import shutil
     import time as _time
