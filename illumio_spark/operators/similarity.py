@@ -223,16 +223,38 @@ def lsh_neardup_pairs(
     dim: int = 64,
     n_tables: int = 3,
     broadcast_vectors: bool = False,
+    verify: str = "expr",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed (never O(n²)).
 
-    Candidates come from the multi-table (table, bucket) self-equi-join of
-    id rows ONLY — the measured bottleneck of the naive version was
-    dragging two dim-sized arrays per pair through the join + dedup
-    (2.8 s → 0.9 s at sf0.1 for the same output). Vectors re-attach via two
-    equi-joins on the ids (auto-broadcast when small), then the exact
-    cosine ≥ threshold verifies each deduped candidate once."""
+    verify='expr' (default, the oracle-parity mode): candidates come
+    from the multi-table (table, bucket) self-equi-join of id rows ONLY
+    — the measured bottleneck of the naive version was dragging two
+    dim-sized arrays per pair through the join + dedup (2.8 s → 0.9 s at
+    sf0.1 for the same output). Vectors re-attach via two equi-joins on
+    the ids (auto-broadcast when small), then the exact cosine ≥
+    threshold verifies each deduped candidate once — as a JVM expression
+    whose float summation order DuckDB's list_cosine_similarity
+    reproduces.
+
+    verify='matmul' (the engine default at scale, same dual-path
+    discipline as hash_fn md5/xxhash64): candidates and verify run as
+    one per-bucket blocked numpy matmul (bucket_verified_pairs) — each
+    vector crosses Arrow once per bucket membership instead of once per
+    candidate pair, and the cosine costs a C matmul instead of an
+    interpreted aggregate expression (54× at 200 k vectors,
+    BENCH/compact_embedding.json). Pair-set equality between the modes
+    is pytest-asserted; only float ties exactly AT the threshold could
+    ever differ (summation order), which is why the oracle row stays on
+    'expr'."""
     ev = df.select(F.col(id_col), F.col(vec_col).alias("__v"))
+    if verify == "matmul":
+        bv = _bucketed_long(ev, id_col, "__v", n_planes, dim, n_tables).select(
+            id_col, "tbl", "bucket", "__v"
+        )
+        return bucket_verified_pairs(
+            bv, id_col=id_col, vec_col="__v", threshold=threshold
+        )
     # repartition on the join key: the self-join's two sides then share ONE
     # ReusedExchange instead of each recomputing the bucket expressions
     eb = (

@@ -619,6 +619,33 @@ def test_bucket_verified_pairs_equals_expression_verify(spark):
     assert not any(999 in p for p in got)
 
 
+def test_lsh_neardup_pairs_matmul_mode_equals_expr(spark):
+    """The engine-default verify='matmul' mode must produce the exact
+    pair set of the oracle-parity expression mode on the real
+    embeddings table (the td_embedding_neardup corpus)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    near = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x + 0.05
+        ).alias("v"),
+    )
+    corpus = base.unionByName(near)
+    kw = dict(threshold=0.9, n_planes=8, dim=64, n_tables=9)
+    expr_pairs = {
+        (r.id_a, r.id_b)
+        for r in SIM.lsh_neardup_pairs(corpus, **kw).collect()
+    }
+    mm_pairs = {
+        (r.id_a, r.id_b)
+        for r in SIM.lsh_neardup_pairs(corpus, verify="matmul", **kw).collect()
+    }
+    assert mm_pairs == expr_pairs and len(expr_pairs) > 0
+
+
 def test_incremental_neardup_random_split_sweep(spark):
     """Property-style sweep: random corpora with planted exact/near/chain
     duplicates, split at random boundaries into two runs — the frontier
