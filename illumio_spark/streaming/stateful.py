@@ -264,3 +264,70 @@ def neardup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def embedding_neardup_stream(
+    stream: DataFrame,
+    frontier_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 4,
+    dim: int = 64,
+    n_tables: int = 3,
+):
+    """Streaming EMBEDDING near-dup dedup — neardup_stream's twin for
+    the vector family: each micro-batch runs
+    similarity.incremental_embedding_neardup against the accumulating
+    two-table frontier (frontier_path/buckets + frontier_path/vecs) and
+    appends survivors to output_path/batch=<id>. Same contracts as the
+    text stream: exact min-id-keeper/seen-wins batch semantics, emitted
+    set ⊇ combined-run keepers with retroactive bridge merges the
+    divergence (resolve them periodically with
+    compact_embedding_frontier), OVERWRITE-per-batch idempotent
+    restarts, frontier appended only after the output commits.
+
+    State is n_tables bucket rows + one vector row per doc ever
+    processed; the per-batch cost is O(batch + collisions) because
+    buckets with no new doc are pruned before any vector moves
+    (incremental_embedding_neardup's scale shape).
+
+    File-source caveat: the stream's fixed schema must match every
+    file's physical vector type — a source mixing array<float> and
+    array<double> files fails the parquet read (Spark file-source
+    semantics); cast upstream at write time."""
+    from pyspark.errors import AnalysisException
+
+    from illumio_spark.operators.similarity import incremental_embedding_neardup
+
+    def _one_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+
+        def _read(path):
+            try:
+                return spark.read.parquet(path)
+            except AnalysisException as e:
+                cls = (e.getCondition() or "") if hasattr(e, "getCondition") else ""
+                if "PATH_NOT_FOUND" not in cls and "Path does not exist" not in str(e):
+                    raise
+                return None
+
+        seen_b = _read(f"{frontier_path}/buckets")
+        seen_v = _read(f"{frontier_path}/vecs")
+        kept, new_b, new_v = incremental_embedding_neardup(
+            batch, seen_b, seen_v, id_col=id_col, vec_col=vec_col,
+            threshold=threshold, n_planes=n_planes, dim=dim,
+            n_tables=n_tables,
+        )
+        kept.write.mode("overwrite").parquet(f"{output_path}/batch={batch_id}")
+        new_b.write.mode("append").parquet(f"{frontier_path}/buckets")
+        new_v.write.mode("append").parquet(f"{frontier_path}/vecs")
+
+    return (
+        stream.writeStream.foreachBatch(_one_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -336,3 +336,63 @@ def test_neardup_stream_merges_path_captures_bridge(spark):
     m1 = spark.read.parquet(f"{mrg}/batch=1").collect()
     assert {r.doc_id for r in m1} == {1, 2}
     assert len({r.component for r in m1}) == 1
+
+
+def test_embedding_neardup_stream_two_batches(spark):
+    """Streaming embedding near-dup: batch 2's near-dups of batch-1
+    vectors drop against the two-table frontier; a genuinely novel
+    vector survives; frontier holds n_tables bucket rows + 1 vec row
+    per processed doc; per-batch output dirs exist."""
+    import glob
+    import shutil
+    import time as _time
+
+    import numpy as np
+
+    from illumio_spark.streaming.stateful import embedding_neardup_stream
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    base = rng.standard_normal((20, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    b1 = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    novel = rng.standard_normal(16)
+    rows2 = [
+        (100 + i, (base[i] + 0.01 * rng.standard_normal(16)).tolist())
+        for i in range(10)
+    ] + [(999, (novel / np.linalg.norm(novel)).tolist())]
+    b2 = spark.createDataFrame(rows2, "vec_id long, embedding array<double>")
+
+    d = tempfile.mkdtemp(prefix="emb_stream_in_")
+    now = _time.time()
+    for i, df in enumerate((b1, b2)):
+        p = os.path.join(d, f"b{i}")
+        df.coalesce(1).write.parquet(p)
+        f = glob.glob(p + "/part-*.parquet")[0]
+        shutil.move(f, os.path.join(d, f"f{i}.parquet"))
+        shutil.rmtree(p)
+        os.utime(
+            os.path.join(d, f"f{i}.parquet"),
+            (now - 20 + 10 * i, now - 20 + 10 * i),
+        )
+    basep = tempfile.mkdtemp(prefix="emb_stream_")
+    out, fr, ck = f"{basep}/out", f"{basep}/frontier", f"{basep}/ckpt"
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = embedding_neardup_stream(
+        stream, fr, out, ck, threshold=0.95, n_planes=4, dim=16, n_tables=3
+    )
+    q.awaitTermination(300)
+    kept = {r.vec_id for r in spark.read.parquet(out).collect()}
+    assert set(range(20)) <= kept and 999 in kept
+    assert not any(100 <= i < 110 for i in kept)  # cross-batch dups dropped
+    assert spark.read.parquet(f"{fr}/buckets").count() == 31 * 3
+    assert spark.read.parquet(f"{fr}/vecs").count() == 31
+    assert sorted(
+        os.path.basename(p) for p in glob.glob(out + "/batch=*")
+    ) == ["batch=0", "batch=1"]
