@@ -128,7 +128,39 @@ def bench_overrides() -> dict:
         # r7: embedding near-dup with the matmul verify (registry row keeps
         # verify='expr' so DuckDB reproduces the float summation order)
         "td_embedding_neardup": _embedding_neardup_fast,
+        # r7: IVF re-rank with the Arrow-batched numpy cosine (registry row
+        # keeps the expression score for oracle parity)
+        "td_ann_ivf_topk": _ivf_topk_fast,
     }
+
+
+def _ivf_topk_fast(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from illumio_spark.operators import similarity as SIM
+    from illumio_spark.queries.catalog_td import _ivf_centroids_int
+
+    ids = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_id") < 200)
+        .select(F.col("event_id").alias("vec_id"))
+    )
+    j = F.sequence(F.lit(0), F.lit(15))
+    vec = F.transform(
+        j,
+        lambda jj: (
+            (F.col("vec_id") * 7 + jj * 13) % 9 - 4
+            + F.when((jj / 2).cast("int") == F.col("vec_id") % 8, 6).otherwise(0)
+        ).cast("double"),
+    )
+    vecs = ids.select("vec_id", vec.alias("embedding"))
+    qs = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    return SIM.ivf_topk(
+        vecs, qs, k=10, n_probe=3, centroids=_ivf_centroids_int(),
+        score="pandas",
+    )
 
 
 def _embedding_neardup_fast(spark, sf_dir):

@@ -30,6 +30,35 @@ def cosine(a, b):
     return F.try_divide(_dot(a, b), l2_norm(a) * l2_norm(b))
 
 
+def cosine_pandas(a, b) -> "F.Column":
+    """Arrow-batched row-wise cosine — the engine-default alternative to
+    the `cosine` expression when a column of already-materialized
+    (vector, vector) rows must be scored: F.aggregate/zip_with execute
+    INTERPRETED per element, one numpy batch does the same math in C.
+    Float64 like the expression form, but numpy's summation order
+    differs from the left-fold, so oracle-parity paths (DuckDB
+    list_cosine_similarity reproduces the fold) keep `cosine`.
+    Zero-norm vectors yield NaN → propagated as NULL-like (never passes
+    a >= comparison), matching try_divide's NULL."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    # no signature type hints: pandas_udf's hint inference cannot resolve
+    # string annotations here (same constraint as lsh_bucket_pandas)
+    def _cos(va, vb):
+        A = np.array(va.tolist(), dtype=np.float64)
+        B = np.array(vb.tolist(), dtype=np.float64)
+        num = (A * B).sum(axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = num / (
+                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            )
+        return pd.Series(out)
+
+    return pandas_udf(_cos, T.DoubleType())(a, b)
+
+
 def brute_force_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -617,11 +646,18 @@ def ivf_topk(
     n_centroids: int = 64,
     n_probe: int = 4,
     centroids: np.ndarray | None = None,
+    score: str = "expr",
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted file): corpus vectors live in
     their single nearest-centroid cell, queries probe their n_probe
     nearest cells, candidates come from the (cell) equi-join, and exact
     cosine re-ranks — the faiss IVF-Flat shape as a DataFrame plan.
+    score='expr' (default) re-ranks with the JVM cosine expression the
+    DuckDB oracle reproduces; score='pandas' scores the same candidate
+    rows with the Arrow-batched numpy cosine (cosine_pandas) — the
+    engine default bench.py measures (rank ties cannot flip between the
+    modes unless two candidates tie at float precision AT the same
+    cosine, where the id tiebreak already decides).
 
     100 TB scale shape: centroid training touches a bounded sample; cell
     assignment is a map-only matmul pass; the candidate join shuffles on
@@ -646,7 +682,8 @@ def ivf_topk(
         .dropDuplicates([qid_col, id_col])
     )
     candidates = cand_ids.join(ev, id_col).join(F.broadcast(qv), qid_col)
-    scored = candidates.withColumn("cos", cosine(F.col("v"), F.col("qv")))
+    score_fn = cosine_pandas if score == "pandas" else cosine
+    scored = candidates.withColumn("cos", score_fn(F.col("v"), F.col("qv")))
     w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -646,6 +646,43 @@ def test_lsh_neardup_pairs_matmul_mode_equals_expr(spark):
     assert mm_pairs == expr_pairs and len(expr_pairs) > 0
 
 
+def test_ivf_topk_pandas_score_equals_expr(spark):
+    """ivf_topk(score='pandas') must rank identically to the
+    expression-score oracle mode — exact on the integer-valued driver
+    corpus where every dot/norm is an exact double in both paths."""
+    from illumio_spark.queries.catalog_td import _ivf_centroids_int, td_ann_ivf_topk
+
+    want = [
+        (r.qid, r.neighbor_id, r.rank)
+        for r in td_ann_ivf_topk(spark, "/root/testdata/sf0.001").collect()
+    ]
+    ids = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .filter(F.col("event_id") < 200)
+        .select(F.col("event_id").alias("vec_id"))
+    )
+    j = F.sequence(F.lit(0), F.lit(15))
+    vec = F.transform(
+        j,
+        lambda jj: (
+            (F.col("vec_id") * 7 + jj * 13) % 9 - 4
+            + F.when((jj / 2).cast("int") == F.col("vec_id") % 8, 6).otherwise(0)
+        ).cast("double"),
+    )
+    vecs = ids.select("vec_id", vec.alias("embedding"))
+    qs = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    got = [
+        (r.qid, r.neighbor_id, r.rank)
+        for r in SIM.ivf_topk(
+            vecs, qs, k=10, n_probe=3, centroids=_ivf_centroids_int(),
+            score="pandas",
+        ).orderBy("qid", "rank").collect()
+    ]
+    assert got == want and len(got) > 0
+
+
 def test_incremental_neardup_random_split_sweep(spark):
     """Property-style sweep: random corpora with planted exact/near/chain
     duplicates, split at random boundaries into two runs — the frontier
