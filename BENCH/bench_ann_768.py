@@ -64,10 +64,21 @@ def worker(cpus: int, n: int, dim: int, n_queries: int) -> None:
 
     out = {"cpus": cpus, "n": n, "dim": dim}
     lsh = SIM.lsh_topk(emb, qs, k=10, n_planes=n_planes, dim=dim, n_tables=n_tables)
+    # engine-default re-rank: numpy batch instead of the interpreted
+    # aggregate expression walking 768 elements per candidate row
+    lsh_mm = SIM.lsh_topk(
+        emb, qs, k=10, n_planes=n_planes, dim=dim, n_tables=n_tables,
+        score="pandas",
+    )
     ivf = SIM.ivf_topk(emb, qs, k=10, n_centroids=64, n_probe=8)
+    ivf_mm = SIM.ivf_topk(
+        emb, qs, k=10, n_centroids=64, n_probe=8, score="pandas"
+    )
     brute = SIM.brute_force_topk(emb, qs, k=10)
     for name, df in {
-        "lsh_topk_768": lsh, "ivf_topk_768": ivf, "brute_force_768": brute
+        "lsh_topk_768": lsh, "lsh_topk_768_pandas": lsh_mm,
+        "ivf_topk_768": ivf, "ivf_topk_768_pandas": ivf_mm,
+        "brute_force_768": brute,
     }.items():
         df.write.mode("overwrite").format("noop").save()  # warm (JIT + python workers)
         best = float("inf")

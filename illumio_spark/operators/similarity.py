@@ -39,7 +39,15 @@ def cosine_pandas(a, b) -> "F.Column":
     differs from the left-fold, so oracle-parity paths (DuckDB
     list_cosine_similarity reproduces the fold) keep `cosine`.
     Zero-norm vectors yield NaN → propagated as NULL-like (never passes
-    a >= comparison), matching try_divide's NULL."""
+    a >= comparison), matching try_divide's NULL.
+
+    Regime (measured, BENCH/NOTES.md r7): decisive when the scored row
+    volume is large (the per-bucket matmul cousin at 200 k vectors:
+    54×), a wash-to-modest-win at small volumes (sf0.1 IVF row:
+    ~1.1-1.2×), and a LOSS where one extra Python-worker stage meets
+    few rows at high dim (768-dim ANN bench, ~50 k candidates: IVF
+    2.9 s expr vs 4.1 s pandas). Both modes stay available for exactly
+    this reason."""
     import pandas as pd
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
@@ -190,8 +198,13 @@ def lsh_topk(
     dim: int = 64,
     n_tables: int = 3,
     broadcast_vectors: bool = False,
+    score: str = "expr",
 ) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH.
+    score='expr'|'pandas' — same re-rank dual-path as ivf_topk: the
+    expression form is what the pytest oracle reproduces, the
+    Arrow-batched numpy form is the engine default at real dims (at
+    dim 768 the interpreted aggregate walks 768 elements per row).
 
     OR-construction over L independent hash tables fixes the single-probe
     boundary miss (a vector near a hyperplane flips sign under tiny
@@ -234,7 +247,8 @@ def lsh_topk(
     )
     evr = F.broadcast(ev) if broadcast_vectors else ev
     candidates = cand_ids.join(evr, id_col).join(F.broadcast(qv), qid_col)
-    scored = candidates.withColumn("cos", cosine(F.col("v"), F.col("qv")))
+    score_fn = cosine_pandas if score == "pandas" else cosine
+    scored = candidates.withColumn("cos", score_fn(F.col("v"), F.col("qv")))
     w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -683,6 +683,27 @@ def test_ivf_topk_pandas_score_equals_expr(spark):
     assert got == want and len(got) > 0
 
 
+def test_lsh_topk_pandas_score_equals_expr(spark):
+    """lsh_topk(score='pandas') ranks identically to the expression
+    score on the real embeddings table."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    kw = dict(k=10, n_planes=4, broadcast_vectors=True)
+    want = [
+        (r.qid, r.neighbor_id, r.rank)
+        for r in SIM.lsh_topk(emb, qs, **kw).orderBy("qid", "rank").collect()
+    ]
+    got = [
+        (r.qid, r.neighbor_id, r.rank)
+        for r in SIM.lsh_topk(emb, qs, score="pandas", **kw)
+        .orderBy("qid", "rank")
+        .collect()
+    ]
+    assert got == want and len(got) > 0
+
+
 def test_incremental_neardup_random_split_sweep(spark):
     """Property-style sweep: random corpora with planted exact/near/chain
     duplicates, split at random boundaries into two runs — the frontier
