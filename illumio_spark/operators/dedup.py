@@ -447,23 +447,25 @@ def incremental_neardup(
     idempotent on (id, band_idx).
 
     Scale shape: the batch's band table is checkpointed small, so AQE
-    builds the frontier join as a BroadcastHashJoin with the NEW side
-    as the build (plan-verified at sf0.1: BuildLeft on the band keys) —
-    the history-sized frontier STREAMS through one scan and is never
-    shuffled; per-run cost is O(batch + collisions), not O(history).
-    Only documents sharing a band ever meet; seen-seen pairs are never
-    formed (their components were already resolved by the runs that
-    introduced them — restricting edges to >=1-new sides provably
-    preserves both all-new components and new-to-seen reachability, the
-    only two facts the keep decision reads); CC runs on the
-    batch-induced subgraph (new docs + directly-touched seen docs), not
-    the full corpus graph. State is n_bands small rows per document
-    ever processed — the near-dup analog of the minimal exact-dedup
-    frontier."""
+    builds the bucket prefilter as a BroadcastHashJoin with the NEW
+    side as the build (plan-verified at sf0.1: BuildLeft on the band
+    keys) — the history-sized frontier STREAMS through one scan and is
+    never shuffled; per-run cost is O(batch + collisions), not
+    O(history). Buckets holding no new doc are semi-join-pruned before
+    any edge forms (their members' components were already resolved by
+    the runs that introduced them, and they cannot reach a new doc);
+    within the surviving buckets CC gets STAR edges to the bucket min
+    (_band_star_edges: M-1 edges, never the new×all pair fan-out) —
+    every bucket member genuinely collides with every other, so stars
+    preserve exactly the new-new connectivity and new-to-seen
+    reachability the keep decision reads, at strictly fewer edges. CC
+    runs on the batch-induced subgraph, not the full corpus graph.
+    State is n_bands small rows per document ever processed — the
+    near-dup analog of the minimal exact-dedup frontier."""
     new_bands = band_signatures(
         new_docs, id_col, text_col, n_hashes, n_bands, hash_fn
     )
-    # materialize ONCE: the band table feeds the join's probe side, the
+    # materialize ONCE: the band table feeds the bucket prefilter, the
     # all-bands union, and the returned frontier append — without the
     # checkpoint each consumer re-runs the whole signature pipeline
     new_bands = new_bands.localCheckpoint(eager=True)
@@ -472,14 +474,14 @@ def incremental_neardup(
     else:
         seen_bands = seen_bands.select(id_col, "band_idx", "band_key")
         all_bands = new_bands.unionByName(seen_bands)
-    a = new_bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
-    b = all_bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
-    pairs = (
-        a.join(b, ["band_idx", "band_key"])
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    new_keys = new_bands.select("band_idx", "band_key").distinct()
+    touched = all_bands.join(new_keys, ["band_idx", "band_key"], "left_semi")
+    # materialize the touched band rows (bounded by batch + collisions):
+    # the star-edge self-aggregate-join over a lineage mixing a
+    # checkpointed RDD with a union otherwise trips AQE into zipping
+    # mismatched partition counts
+    touched = touched.distinct().localCheckpoint(eager=True)
+    pairs = _band_star_edges(touched, id_col)
     new_ids = new_docs.select(id_col)
     nodes = (
         new_ids.unionByName(pairs.select(F.col("id_a").alias(id_col)))

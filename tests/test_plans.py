@@ -314,32 +314,34 @@ def test_incremental_neardup_plan(spark):
         assert "BroadcastNestedLoopJoin" not in plan
 
     # the 100 TB property: with the frontier on disk and a small batch,
-    # the band join BROADCASTS the new side and STREAMS the frontier —
-    # the history-sized table is scanned once, never shuffled
+    # the bucket prefilter BROADCASTS the new side's keys and STREAMS
+    # the frontier — the history-sized table is scanned once, never
+    # shuffled — and CC's edge input is the star set (bounded by the
+    # touched band rows), never a new×all pair fan-out. Mirror the
+    # operator's current shape (semi-join prefilter + star edges).
     from pyspark.sql import functions as F
 
-    from illumio_spark.operators.dedup import _band_stack  # noqa: F401
-
     import tempfile
+
+    from illumio_spark.operators.dedup import _band_star_edges
 
     d = tempfile.mkdtemp(prefix="frontier_plan_") + "/fr"
     band_signatures(docs.filter("doc_id < 400")).write.parquet(d)
     frontier = spark.read.parquet(d)
     nb = band_signatures(docs.filter("doc_id >= 400")).localCheckpoint(eager=True)
     allb = nb.unionByName(frontier.select("doc_id", "band_idx", "band_key"))
-    a = nb.select(F.col("doc_id").alias("id_a"), "band_idx", "band_key")
-    b = allb.select(F.col("doc_id").alias("id_b"), "band_idx", "band_key")
-    pairs = (
-        a.join(b, ["band_idx", "band_key"])
-        .filter("id_a != id_b")
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    pairs.count()  # finalize AQE
-    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    new_keys = nb.select("band_idx", "band_key").distinct()
+    touched = allb.join(new_keys, ["band_idx", "band_key"], "left_semi")
+    touched.count()  # finalize AQE
+    plan = touched._jdf.queryExecution().executedPlan().toString()
     join_lines = [l for l in plan.splitlines() if "Join" in l]
-    assert any("BroadcastHashJoin" in l and "band_key" in l for l in join_lines), join_lines
+    assert any(
+        "BroadcastHashJoin" in l and "LeftSemi" in l for l in join_lines
+    ), join_lines
     assert not any("SortMergeJoin" in l for l in join_lines), join_lines
+    # star bound: CC edge count <= touched band rows
+    t = touched.distinct().localCheckpoint(eager=True)
+    assert _band_star_edges(t, "doc_id").count() <= t.count()
 
 
 def test_compact_frontier_plan_and_star_equivalence(spark):
