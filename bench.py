@@ -135,28 +135,13 @@ def bench_overrides() -> dict:
 
 
 def _ivf_topk_fast(spark, sf_dir):
-    from pyspark.sql import functions as F
-
     from illumio_spark.operators import similarity as SIM
-    from illumio_spark.queries.catalog_td import _ivf_centroids_int
+    from illumio_spark.queries.catalog_td import (
+        _ivf_centroids_int,
+        _ivf_int_corpus,
+    )
 
-    ids = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .filter(F.col("event_id") < 200)
-        .select(F.col("event_id").alias("vec_id"))
-    )
-    j = F.sequence(F.lit(0), F.lit(15))
-    vec = F.transform(
-        j,
-        lambda jj: (
-            (F.col("vec_id") * 7 + jj * 13) % 9 - 4
-            + F.when((jj / 2).cast("int") == F.col("vec_id") % 8, 6).otherwise(0)
-        ).cast("double"),
-    )
-    vecs = ids.select("vec_id", vec.alias("embedding"))
-    qs = vecs.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
-    )
+    vecs, qs = _ivf_int_corpus(spark, sf_dir)
     return SIM.ivf_topk(
         vecs, qs, k=10, n_probe=3, centroids=_ivf_centroids_int(),
         score="pandas",

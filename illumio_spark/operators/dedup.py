@@ -506,12 +506,13 @@ def incremental_neardup(
     if not report_seen_merges:
         return kept, new_bands
     # merge events: seen docs whose induced component holds >= 2 seen
-    # members — they are now known connected (through this batch's
-    # docs). Seen-seen edges are never formed, so every such group was
-    # bridged by the batch; some pairs may already share a component
-    # from an earlier run (the frontier stores no labels), so the
-    # caller treats these as merge CANDIDATES and dedupes against its
-    # own keeper/label state during compaction.
+    # members — they are now known connected. These are merge
+    # CANDIDATES, not guaranteed-new information: star edges within a
+    # touched bucket can link two seen docs directly (bucket min = a
+    # seen doc), and such a pair was necessarily already same-component
+    # when the later of them was processed; the frontier stores no
+    # labels, so the caller dedupes candidates against its own
+    # keeper/label state during compaction.
     if seen_bands is None:
         merges = comp.select("component", F.col(id_col)).filter(F.lit(False))
     else:
@@ -551,6 +552,25 @@ def _band_star_edges(bands: DataFrame, id_col: str) -> DataFrame:
         .select(F.col("__bmin").alias("id_a"), F.col(id_col).alias("id_b"))
         .distinct()
     )
+
+
+def canonical_and_retractions(
+    comp: DataFrame, emitted: DataFrame | None, id_col: str
+) -> DataFrame | tuple[DataFrame, DataFrame]:
+    """Shared compaction tail (text and embedding frontiers): CC labels
+    → canonical keeper ids (id == component min); with `emitted`, also
+    (id, component) retraction rows for emitted docs whose component
+    gained a smaller keeper."""
+    canonical = comp.filter(F.col(id_col) == F.col("component")).select(id_col)
+    if emitted is None:
+        return canonical
+    retractions = (
+        emitted.select(id_col)
+        .join(comp, id_col)
+        .filter(F.col(id_col) != F.col("component"))
+        .select(id_col, "component")
+    )
+    return canonical, retractions
 
 
 def compact_neardup_frontier(
@@ -595,16 +615,7 @@ def compact_neardup_frontier(
     pairs = _band_star_edges(b, id_col)
     nodes = b.select(id_col).distinct()
     comp = neardup_components(nodes, pairs, id_col, max_iters=max_iters)
-    canonical = comp.filter(F.col(id_col) == F.col("component")).select(id_col)
-    if emitted is None:
-        return canonical
-    retractions = (
-        emitted.select(id_col)
-        .join(comp, id_col)
-        .filter(F.col(id_col) != F.col("component"))
-        .select(id_col, "component")
-    )
-    return canonical, retractions
+    return canonical_and_retractions(comp, emitted, id_col)
 
 
 def neardup_components(

@@ -24,6 +24,17 @@ def l2_norm(vec) -> "F.Column":
     return F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
+def _score_fn(score: str):
+    """expr|pandas mode select — unknown strings RAISE instead of
+    silently running the expression path (a typo'd engine-mode knob must
+    not masquerade as a measurement of the fast path)."""
+    if score == "pandas":
+        return cosine_pandas
+    if score == "expr":
+        return cosine
+    raise ValueError(f"unknown score mode {score!r}: use 'expr' or 'pandas'")
+
+
 def cosine(a, b):
     # try_divide: a zero-norm vector yields NULL similarity instead of a
     # DIVIDE_BY_ZERO abort under Spark 4's default ANSI mode
@@ -38,8 +49,10 @@ def cosine_pandas(a, b) -> "F.Column":
     Float64 like the expression form, but numpy's summation order
     differs from the left-fold, so oracle-parity paths (DuckDB
     list_cosine_similarity reproduces the fold) keep `cosine`.
-    Zero-norm vectors yield NaN → propagated as NULL-like (never passes
-    a >= comparison), matching try_divide's NULL.
+    Zero-norm vectors yield NULL (non-finite outputs are mapped to None
+    in-UDF), exactly matching try_divide's NULL — NOT NaN, which Spark
+    would sort FIRST under desc() and crown a zero vector every
+    query's nearest neighbor.
 
     Regime (measured, BENCH/NOTES.md r7): decisive when the scored row
     volume is large (the per-bucket matmul cousin at 200 k vectors:
@@ -62,7 +75,12 @@ def cosine_pandas(a, b) -> "F.Column":
             out = num / (
                 np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
             )
-        return pd.Series(out)
+        # non-finite → NULL, not NaN: Spark sorts NaN FIRST under desc()
+        # (measured: [NaN, 0.5, NULL]), so a NaN cosine would rank a
+        # zero-norm vector as every query's top neighbor while the
+        # expression mode's try_divide NULL correctly sorts it last
+        s = pd.Series(out, dtype="object")
+        return s.where(np.isfinite(out), None)
 
     return pandas_udf(_cos, T.DoubleType())(a, b)
 
@@ -247,7 +265,7 @@ def lsh_topk(
     )
     evr = F.broadcast(ev) if broadcast_vectors else ev
     candidates = cand_ids.join(evr, id_col).join(F.broadcast(qv), qid_col)
-    score_fn = cosine_pandas if score == "pandas" else cosine
+    score_fn = _score_fn(score)
     scored = candidates.withColumn("cos", score_fn(F.col("v"), F.col("qv")))
     w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col(id_col))
     return (
@@ -290,6 +308,10 @@ def lsh_neardup_pairs(
     is pytest-asserted; only float ties exactly AT the threshold could
     ever differ (summation order), which is why the oracle row stays on
     'expr'."""
+    if verify not in ("expr", "matmul"):
+        raise ValueError(
+            f"unknown verify mode {verify!r}: use 'expr' or 'matmul'"
+        )
     ev = df.select(F.col(id_col), F.col(vec_col).alias("__v"))
     if verify == "matmul":
         bv = _bucketed_long(ev, id_col, "__v", n_planes, dim, n_tables).select(
@@ -460,6 +482,7 @@ def bucket_verified_pairs(
     threshold: float = 0.9,
     block: int = 1024,
     probe_col: str | None = None,
+    hot_bucket_rows: int = 200_000,
 ) -> DataFrame:
     """(tbl, bucket, id, vec) rows → exact-cosine-verified candidate
     pairs (id_a < id_b), computed per bucket with a BLOCKED numpy
@@ -469,19 +492,38 @@ def bucket_verified_pairs(
     per pair at dim 64) through an interpreted aggregate/zip_with
     cosine; this form moves each vector once per bucket through Arrow
     and verifies with C-speed matmul. Row blocks of `block` bound the
-    in-UDF matrix at block×M, so a hot bucket costs memory linear in M.
-    Zero-norm vectors normalize to NaN and never pass the >= threshold
-    comparison — same outcome as the expression form's try_divide NULL.
-    Cross-table duplicate pairs are distinct-ed here.
+    in-UDF matrix at block×M. Zero-norm vectors normalize to NaN and
+    never pass the >= threshold comparison — same outcome as the
+    expression form's try_divide NULL. Cross-table duplicate pairs are
+    distinct-ed here. Requires an integral id column (the pair schema
+    and the numpy min/max are typed); use the expression paths for
+    string ids.
 
     probe_col (boolean column) restricts the matmul's ROW side to
     flagged members — the new-vs-all shape of the incremental frontier:
     probe × all instead of all × all, emitting exactly the >=1-probe
-    pairs. Without it, the full upper triangle."""
+    pairs. Without it, the full upper triangle.
+
+    Hot-bucket guard: a pandas group materializes ALL of a bucket's
+    vectors in one worker (M × dim × 8 bytes — 20 M degenerate members
+    at dim 64 would be ~10 GB), so buckets over `hot_bucket_rows` rows
+    are split off to the DISTRIBUTED join-then-verify path (expression
+    cosine, spills instead of OOMs; quadratic work is intrinsic to a
+    hot bucket either way — the real mitigation is the LSH design,
+    more planes/doc-freq capping, same class as verbatim's
+    stop-shingles). The size split costs one count aggregate over the
+    band rows."""
     from collections.abc import Iterator  # noqa: F401
 
     import pandas as pd
 
+    id_dt = dict(bucketed.dtypes)[id_col]
+    if id_dt not in ("bigint", "int", "smallint", "tinyint"):
+        raise TypeError(
+            f"bucket_verified_pairs needs an integral id column, got "
+            f"{id_col}: {id_dt}; use verify/score='expr' paths for "
+            f"non-integral ids"
+        )
     empty = {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
     cols = ["tbl", "bucket", id_col, vec_col] + (
         [probe_col] if probe_col else []
@@ -519,12 +561,38 @@ def bucket_verified_pairs(
         return pd.DataFrame({"id_a": np.concatenate(out_a),
                              "id_b": np.concatenate(out_b)})
 
-    return (
-        bucketed.select(*cols)
-        .groupBy("tbl", "bucket")
-        .applyInPandas(fn, "id_a long, id_b long")
-        .distinct()
+    b = bucketed.select(*cols)
+    sizes = b.groupBy("tbl", "bucket").agg(F.count("*").alias("__bn"))
+    hot_keys = sizes.filter(F.col("__bn") > hot_bucket_rows).select(
+        "tbl", "bucket"
     )
+    cold = b.join(hot_keys, ["tbl", "bucket"], "left_anti")
+    pairs = cold.groupBy("tbl", "bucket").applyInPandas(
+        fn, f"id_a {id_dt}, id_b {id_dt}"
+    )
+    hot = b.join(hot_keys, ["tbl", "bucket"], "left_semi")
+    ha = hot.filter(F.col(probe_col)) if probe_col else hot
+    ha = ha.select(
+        "tbl", "bucket", F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va")
+    )
+    hb = hot.select(
+        "tbl", "bucket", F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb")
+    )
+    hot_cond = (
+        (F.col("__ida") != F.col("__idb"))
+        if probe_col
+        else (F.col("__ida") < F.col("__idb"))
+    )
+    hot_pairs = (
+        ha.join(hb, ["tbl", "bucket"])
+        .filter(hot_cond)
+        .filter(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .select(
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
+        )
+    )
+    return pairs.unionByName(hot_pairs).distinct()
 
 
 def compact_embedding_frontier(
@@ -558,7 +626,10 @@ def compact_embedding_frontier(
     (identical bucket occupancy): the join-then-verify form took 548 s;
     the per-bucket matmul form 10.1 s — 54×, and 10× data now costs
     1.53× time (BENCH/compact_embedding.json)."""
-    from illumio_spark.operators.dedup import neardup_components
+    from illumio_spark.operators.dedup import (
+        canonical_and_retractions,
+        neardup_components,
+    )
 
     b = seen_buckets.select(id_col, "tbl", "bucket").distinct()
     v = seen_vecs.select(
@@ -570,16 +641,7 @@ def compact_embedding_frontier(
     )
     nodes = b.select(id_col).distinct()
     comp = neardup_components(nodes, verified, id_col, max_iters=max_iters)
-    canonical = comp.filter(F.col(id_col) == F.col("component")).select(id_col)
-    if emitted is None:
-        return canonical
-    retractions = (
-        emitted.select(id_col)
-        .join(comp, id_col)
-        .filter(F.col(id_col) != F.col("component"))
-        .select(id_col, "component")
-    )
-    return canonical, retractions
+    return canonical_and_retractions(comp, emitted, id_col)
 
 
 def ivf_train_centroids(
@@ -696,7 +758,7 @@ def ivf_topk(
         .dropDuplicates([qid_col, id_col])
     )
     candidates = cand_ids.join(ev, id_col).join(F.broadcast(qv), qid_col)
-    score_fn = cosine_pandas if score == "pandas" else cosine
+    score_fn = _score_fn(score)
     scored = candidates.withColumn("cos", score_fn(F.col("v"), F.col("qv")))
     w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col(id_col))
     return (

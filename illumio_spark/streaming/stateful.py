@@ -229,19 +229,12 @@ def neardup_stream(
     unaffected (same contract as the batch CLI's after-commit append).
 
     Returns the StreamingQuery (caller awaits/stops it)."""
-    from pyspark.errors import AnalysisException
-
     from illumio_spark.operators.dedup import incremental_neardup
+    from illumio_spark.sources.tableio import read_parquet_if_exists
 
     def _one_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        try:
-            seen = spark.read.parquet(frontier_path)
-        except AnalysisException as e:
-            cls = (e.getCondition() or "") if hasattr(e, "getCondition") else ""
-            if "PATH_NOT_FOUND" not in cls and "Path does not exist" not in str(e):
-                raise
-            seen = None
+        seen = read_parquet_if_exists(spark, frontier_path)
         res = incremental_neardup(
             batch, seen, id_col=id_col, text_col=text_col, hash_fn=hash_fn,
             report_seen_merges=merges_path is not None,
@@ -298,24 +291,13 @@ def embedding_neardup_stream(
     file's physical vector type — a source mixing array<float> and
     array<double> files fails the parquet read (Spark file-source
     semantics); cast upstream at write time."""
-    from pyspark.errors import AnalysisException
-
     from illumio_spark.operators.similarity import incremental_embedding_neardup
+    from illumio_spark.sources.tableio import read_parquet_if_exists
 
     def _one_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-
-        def _read(path):
-            try:
-                return spark.read.parquet(path)
-            except AnalysisException as e:
-                cls = (e.getCondition() or "") if hasattr(e, "getCondition") else ""
-                if "PATH_NOT_FOUND" not in cls and "Path does not exist" not in str(e):
-                    raise
-                return None
-
-        seen_b = _read(f"{frontier_path}/buckets")
-        seen_v = _read(f"{frontier_path}/vecs")
+        seen_b = read_parquet_if_exists(spark, f"{frontier_path}/buckets")
+        seen_v = read_parquet_if_exists(spark, f"{frontier_path}/vecs")
         kept, new_b, new_v = incremental_embedding_neardup(
             batch, seen_b, seen_v, id_col=id_col, vec_col=vec_col,
             threshold=threshold, n_planes=n_planes, dim=dim,

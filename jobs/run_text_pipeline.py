@@ -149,19 +149,10 @@ def run(spark, args) -> dict:
     #    seen table after the cleaned corpus commits.
     seen_path = getattr(args, "seen", None)
     if seen_path:
-        from pyspark.errors import AnalysisException
+        from illumio_spark.sources.tableio import read_parquet_if_exists
 
-        try:
-            seen = spark.read.parquet(seen_path)
-        except AnalysisException as e:
-            # ONLY path-not-found means "first run"; any other analysis
-            # failure (corrupt footer, permissions, schema problems) must
-            # surface — swallowing it would silently disable cross-run
-            # dedup and re-keep previously-seen documents (r6 ADVICE)
-            cls = (e.getCondition() or "") if hasattr(e, "getCondition") else ""
-            if "PATH_NOT_FOUND" not in cls and "Path does not exist" not in str(e):
-                raise
-            seen = None  # first run: table does not exist yet
+        # None iff first run; any other read failure re-raises (r6 ADVICE)
+        seen = read_parquet_if_exists(spark, seen_path)
         kept, _ = D.incremental_dedup(docs, seen)
         cur = stage("cross_run_dedup", kept)
         processed = cur  # frontier = everything this run PROCESSED, so
@@ -182,15 +173,9 @@ def run(spark, args) -> dict:
     sigs_path = getattr(args, "seen_sigs", None)
     pending_bands = None
     if args.near_dups and sigs_path:
-        from pyspark.errors import AnalysisException
+        from illumio_spark.sources.tableio import read_parquet_if_exists
 
-        try:
-            seen_bands = spark.read.parquet(sigs_path)
-        except AnalysisException as e:
-            cls = (e.getCondition() or "") if hasattr(e, "getCondition") else ""
-            if "PATH_NOT_FOUND" not in cls and "Path does not exist" not in str(e):
-                raise
-            seen_bands = None  # first run
+        seen_bands = read_parquet_if_exists(spark, sigs_path)
         kept, pending_bands = D.incremental_neardup(
             cur, seen_bands, hash_fn="xxhash64"
         )

@@ -617,6 +617,52 @@ def test_bucket_verified_pairs_equals_expression_verify(spark):
     }
     assert got == want and len(got) > 0
     assert not any(999 in p for p in got)
+    # hot-bucket fallback: forcing every bucket (hot_bucket_rows=1) or a
+    # mixed split (=8) through the distributed join path must not change
+    # the pair set
+    for hot in (1, 8):
+        got_hot = {
+            (r.id_a, r.id_b)
+            for r in SIM.bucket_verified_pairs(
+                bucketed, threshold=0.9, block=5, hot_bucket_rows=hot
+            ).collect()
+        }
+        assert got_hot == want, f"hot_bucket_rows={hot}"
+    # non-integral id columns are rejected with a clear error
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="integral id column"):
+        SIM.bucket_verified_pairs(
+            bucketed.withColumn("vec_id", F.col("vec_id").cast("string")),
+            threshold=0.9,
+        )
+
+
+def test_pandas_score_zero_vector_ranks_like_expr(spark):
+    """A zero-norm candidate must rank identically under both scorers:
+    the pandas path maps non-finite cosines to NULL (NaN would sort
+    FIRST under desc() and crown the zero vector every query's top
+    neighbor; NULL sorts last like try_divide's output)."""
+    rows = [(i, [float(i + 1)] * 8) for i in range(6)] + [(99, [0.0] * 8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    kw = dict(k=10, n_planes=2, dim=8, n_tables=2, broadcast_vectors=True)
+    want = [
+        (r.qid, r.neighbor_id, r.rank)
+        for r in SIM.lsh_topk(emb, qs, **kw).orderBy("qid", "rank").collect()
+    ]
+    got = [
+        (r.qid, r.neighbor_id, r.rank)
+        for r in SIM.lsh_topk(emb, qs, score="pandas", **kw)
+        .orderBy("qid", "rank")
+        .collect()
+    ]
+    assert got == want and len(got) > 0
+    # the zero vector must never outrank a genuine neighbor
+    ranks = {nid: rk for _, nid, rk in got}
+    assert 99 not in ranks or ranks[99] == max(ranks.values())
 
 
 def test_lsh_neardup_pairs_matmul_mode_equals_expr(spark):
@@ -650,29 +696,17 @@ def test_ivf_topk_pandas_score_equals_expr(spark):
     """ivf_topk(score='pandas') must rank identically to the
     expression-score oracle mode — exact on the integer-valued driver
     corpus where every dot/norm is an exact double in both paths."""
-    from illumio_spark.queries.catalog_td import _ivf_centroids_int, td_ann_ivf_topk
+    from illumio_spark.queries.catalog_td import (
+        _ivf_centroids_int,
+        _ivf_int_corpus,
+        td_ann_ivf_topk,
+    )
 
     want = [
         (r.qid, r.neighbor_id, r.rank)
         for r in td_ann_ivf_topk(spark, "/root/testdata/sf0.001").collect()
     ]
-    ids = (
-        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .filter(F.col("event_id") < 200)
-        .select(F.col("event_id").alias("vec_id"))
-    )
-    j = F.sequence(F.lit(0), F.lit(15))
-    vec = F.transform(
-        j,
-        lambda jj: (
-            (F.col("vec_id") * 7 + jj * 13) % 9 - 4
-            + F.when((jj / 2).cast("int") == F.col("vec_id") % 8, 6).otherwise(0)
-        ).cast("double"),
-    )
-    vecs = ids.select("vec_id", vec.alias("embedding"))
-    qs = vecs.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
-    )
+    vecs, qs = _ivf_int_corpus(spark, "/root/testdata/sf0.001")
     got = [
         (r.qid, r.neighbor_id, r.rank)
         for r in SIM.ivf_topk(
