@@ -65,13 +65,26 @@ def docs_corpus(spark, mult: int):
 
 
 def dedup_suite(spark, corpus, eval_df):
-    """(name -> DataFrame) for the dedup family, engine-default hashes."""
+    """(name -> zero-arg thunk -> DataFrame) for the dedup family,
+    engine-default hashes. Thunks, not DataFrames: compaction's CC
+    executes eagerly at CONSTRUCTION (per-round count() + checkpoints),
+    so building it outside the caller's timer would bench a no-op
+    traversal of the checkpointed labels."""
     from illumio_spark.operators import dedup as D
 
     return {
-        "td_exact_dedup": D.exact_dedup_keepers(corpus).filter(F.col("n_copies") > 1),
-        "td_minhash_lsh_pairs": D.minhash_lsh_pairs(corpus, hash_fn="xxhash64"),
-        "td_decontaminate": D.decontaminate(corpus, eval_df, k=13),
+        "td_exact_dedup": lambda: D.exact_dedup_keepers(corpus).filter(
+            F.col("n_copies") > 1
+        ),
+        "td_minhash_lsh_pairs": lambda: D.minhash_lsh_pairs(
+            corpus, hash_fn="xxhash64"
+        ),
+        "td_decontaminate": lambda: D.decontaminate(corpus, eval_df, k=13),
+        # r7: full-frontier compaction (star-edge CC from the band table)
+        # at the 10x corpus — the O(history) maintenance job, in-driver
+        "td_compact_frontier": lambda: D.compact_neardup_frontier(
+            D.band_signatures(corpus, hash_fn="xxhash64")
+        ),
     }
 
 
@@ -85,9 +98,9 @@ def run_arm(spark, label: str, sf: float, mult: int, eval_df) -> dict:
     out["pipeline_turns"] = n_turns
     out["turns_per_sec"] = round(n_turns / elapsed, 1)
 
-    for name, df in dedup_suite(spark, corpus, eval_df).items():
+    for name, thunk in dedup_suite(spark, corpus, eval_df).items():
         t0 = time.time()
-        df.write.mode("overwrite").format("noop").save()
+        thunk().write.mode("overwrite").format("noop").save()
         out[name + "_s"] = round(time.time() - t0, 3)
     return out
 
@@ -110,8 +123,8 @@ def main():
             .select("doc_id", "text")
         )
         # warm the dedup plan shapes once so both timed arms are steady-state
-        for df in dedup_suite(spark, docs_corpus(spark, 1), eval_df).values():
-            df.write.mode("overwrite").format("noop").save()
+        for thunk in dedup_suite(spark, docs_corpus(spark, 1), eval_df).values():
+            thunk().write.mode("overwrite").format("noop").save()
 
         arms = [
             run_arm(spark, "sf0.1", 0.1, 1, eval_df),

@@ -348,9 +348,9 @@ def sf1_arm(spark) -> dict | None:
         .filter(F.col("doc_id") < 500)
         .select("doc_id", "text")
     )
-    for name, df in S.dedup_suite(spark, corpus, eval_df).items():
+    for name, thunk in S.dedup_suite(spark, corpus, eval_df).items():
         t0 = time.time()
-        df.write.mode("overwrite").format("noop").save()
+        thunk().write.mode("overwrite").format("noop").save()
         out[name] = round(time.time() - t0, 3)
     return out
 
