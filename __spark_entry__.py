@@ -30,9 +30,11 @@ PRIORITY = [
     # driver gate (out: td_resize_stats, td_token_percentiles,
     # td_frame_sample — driver-green r5-r6, now in
     # tests/test_retired_queries.py)
-    # late r7: frontier compaction crosses the gate (out: td_ann_lsh_topk,
-    # driver-green r4-r7, now in tests/test_retired_queries.py) — the row
-    # also pins star-edge CC == pairwise transitive closure cross-engine
+    # late r7: frontier compaction and the embedding frontier cross the
+    # gate (out: td_ann_lsh_topk r4-r7 and td_hash_embed_pairs r3-r7,
+    # both in tests/test_retired_queries.py) — compaction also pins
+    # star-edge CC == pairwise transitive closure cross-engine
+    "td_incremental_embedding",  # embedding signature frontier (new r7)
     "td_compact_frontier",  # canonical keepers from persisted bands (new r7)
     "td_incremental_neardup",  # minhash-LSH signature frontier (new r7)
     "td_cut_spans",  # rebuilt text after span excision (new r7)
@@ -65,7 +67,6 @@ PRIORITY = [
     "td_audio_features",  # WAV RMS/ZCR exact + DFT-oracled centroid (r5)
     "td_decode_stats",  # real PNG/WAV/GIF-LZW/JPEG codec corpus (r4)
     "p2_trim_null_projection",  # py_strip dual ASCII/Unicode path (r4)
-    "td_hash_embed_pairs",  # raw text → hashing_embed → LSH lineage (r4)
     "td_decontaminate",  # 13-gram test-set decontamination (r4)
     "td_ann_ivf_topk",  # IVF cell-join ANN, integer-exact oracle (r4)
     "p4_nested_extraction",

@@ -67,6 +67,7 @@ HEADLINE = [
     "td_cut_spans",
     "td_split_grouped",
     "td_compact_frontier",
+    "td_incremental_embedding",
 ]
 
 
@@ -95,6 +96,9 @@ def bench_overrides() -> dict:
         # rotated out in r6 (slot went to td_verbatim_spans); kept here so
         # the row-level JVM projection number stays round-comparable
         "td_token_count": td_token_count,
+        # rotated out late r7 (slot went to td_incremental_embedding);
+        # kept so the hash-embed lineage number stays round-comparable
+        "td_hash_embed_pairs": _hash_embed_pairs_probe,
         "td_minhash_lsh_pairs": lambda spark, sf_dir: D.minhash_lsh_pairs(
             _neardup_corpus(spark, sf_dir), hash_fn="xxhash64"
         ),
@@ -132,6 +136,12 @@ def bench_overrides() -> dict:
         # keeps the expression score for oracle parity)
         "td_ann_ivf_topk": _ivf_topk_fast,
     }
+
+
+def _hash_embed_pairs_probe(spark, sf_dir):
+    from illumio_spark.queries.catalog_td import td_hash_embed_pairs
+
+    return td_hash_embed_pairs(spark, sf_dir)
 
 
 def _ivf_topk_fast(spark, sf_dir):

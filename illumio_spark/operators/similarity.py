@@ -452,6 +452,10 @@ def incremental_embedding_neardup(
         bv, id_col=id_col, vec_col="__v", threshold=threshold,
         probe_col="__new",
     )
+    # bounded by batch collisions; nodes, CC's edge table, and the keep
+    # joins all read it — same single-execution discipline as the text
+    # path's touched-bands checkpoint
+    verified = verified.localCheckpoint(eager=True)
     new_ids = new_df.select(id_col)
     nodes = (
         new_ids.unionByName(verified.select(F.col("id_a").alias(id_col)))
@@ -561,7 +565,11 @@ def bucket_verified_pairs(
         return pd.DataFrame({"id_a": np.concatenate(out_a),
                              "id_b": np.concatenate(out_b)})
 
-    b = bucketed.select(*cols)
+    # materialize ONCE: the size split (anti + semi), the pandas groups,
+    # and the hot join all traverse this frame — uncheckpointed, each
+    # consumer re-executes the caller's bucket/vector join tree
+    # (measured ~4 extra executions per incremental call)
+    b = bucketed.select(*cols).localCheckpoint(eager=True)
     sizes = b.groupBy("tbl", "bucket").agg(F.count("*").alias("__bn"))
     hot_keys = sizes.filter(F.col("__bn") > hot_bucket_rows).select(
         "tbl", "bucket"
@@ -593,6 +601,30 @@ def bucket_verified_pairs(
         )
     )
     return pairs.unionByName(hot_pairs).distinct()
+
+
+def embedding_state(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    dim: int = 64,
+    n_tables: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """(buckets, vecs) frontier state for a corpus WITHOUT running a
+    dedup pass — exactly what incremental_embedding_neardup returns as
+    its second and third outputs (bucket assignment is
+    seed-deterministic, so state built here and state accumulated by
+    prior runs are interchangeable). Use to bootstrap a frontier from
+    an already-deduplicated corpus, the embedding analog of
+    dedup.band_signatures."""
+    ev = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    buckets = _bucketed_long(ev, id_col, "__v", n_planes, dim, n_tables).select(
+        id_col, "tbl", "bucket"
+    )
+    return buckets, df.select(id_col, vec_col)
 
 
 def compact_embedding_frontier(

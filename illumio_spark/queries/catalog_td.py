@@ -333,20 +333,23 @@ def td_ann_lsh_topk(spark, sf_dir):
 # stays pytest-covered in tests/test_dedup_similarity.py)
 
 
-def _emb_neardup_sql(n_planes: int = 8, n_tables: int = 9, threshold: float = 0.9) -> str:
+def _emb_neardup_sql(n_planes: int = 8, n_tables: int = 9, threshold: float = 0.9,
+                     max_id: int | None = None) -> str:
     """DuckDB oracle for the LSH-bucketed embedding near-dup search: the
     corpus is embeddings plus deterministic perturbed copies (+0.05 per
     component) of vec_id < 20; candidate pairs from the bucket equi-join;
     kept when cosine >= threshold. IDs only — cosine values stay engine-
     internal so float rounding can't flip the hash compare (the injected
-    pairs sit far above the cut)."""
+    pairs sit far above the cut). max_id caps the base corpus (rows that
+    bound their work the way event_id < 200 rows do)."""
+    base_where = f"WHERE vec_id < {max_id}" if max_id is not None else ""
     eb_union = "\n      UNION ALL ".join(
         f"SELECT vec_id, v, {t} AS tbl, {_bucket_sql_expr('v', t, n_planes)} AS bucket FROM corpus"
         for t in range(n_tables)
     )
     return f"""
     WITH corpus AS (
-        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings {base_where}
         UNION ALL
         SELECT vec_id + 1000000 AS vec_id,
                list_transform(embedding::DOUBLE[], x -> x + 0.05) AS v
@@ -364,6 +367,88 @@ def _emb_neardup_sql(n_planes: int = 8, n_tables: int = 9, threshold: float = 0.
     WHERE list_cosine_similarity(va, vb) >= {threshold}
     ORDER BY id_a, id_b
     """
+
+
+# --- late r7: the embedding frontier crosses the driver gate ---------------
+# (Equivalence previously pytest-only: with monotone ids, a doc kept by the
+# cross-run incremental path == a doc that is the MIN of its global
+# component over cosine-verified candidate pairs — same reduction the text
+# row td_incremental_neardup uses. Replaces the rotated td_hash_embed_pairs
+# slot.)
+
+_INCR_EMB_MAX_ID = 2000  # bound the row's work like the event_id<200 rows
+
+# 4 planes × 3 tables: stays under LSH_LITERAL_BUDGET (JVM literal bucket
+# expressions, no Python workers) — this row pins FRONTIER semantics, not
+# recall calibration (td_embedding_neardup's 8×9 config covers that)
+_INCR_EMB_SQL = f"""
+    WITH RECURSIVE
+    pairs AS (SELECT * FROM (
+        {_emb_neardup_sql(n_planes=4, n_tables=3, max_id=_INCR_EMB_MAX_ID)}
+    )),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (SELECT src AS vec_id, MIN(dst) AS m FROM reach GROUP BY src),
+    corpus_ids AS (
+        SELECT vec_id FROM embeddings WHERE vec_id < {_INCR_EMB_MAX_ID}
+        UNION ALL
+        SELECT vec_id + 1000000 FROM embeddings WHERE vec_id < 20
+    )
+    SELECT c.vec_id FROM corpus_ids c
+    LEFT JOIN comp USING (vec_id)
+    WHERE vec_id >= 15 AND LEAST(vec_id, COALESCE(m, vec_id)) = vec_id
+"""
+
+
+@q("td_incremental_embedding", _INCR_EMB_SQL)
+def td_incremental_embedding(spark, sf_dir):
+    """Cross-run EMBEDDING near-dup dedup under the driver gate (late
+    r7): vectors with vec_id < 15 are the 'already processed' prior
+    runs — only their bucket/vector state exists at query time — and
+    the rest of the corpus (including the injected +1M perturbed copies
+    of vec_id < 20, i.e. near-dups of BOTH seen and new content) is the
+    new batch. A new vector survives iff its component touches no seen
+    vector and it is the component's min-id member. The DuckDB oracle
+    computes the COMBINED single-run transitive closure over the
+    cosine-verified candidate pairs and keeps new ids that are their
+    own component minimum — the equivalence the frontier must preserve
+    (ids monotone across runs ⇒ 'seen wins' == 'min id wins'). Seeded
+    hyperplanes are shared cross-engine, so candidates are identical;
+    the per-bucket matmul verify and the expression verify agree except
+    exactly AT the threshold (injected pairs sit at cosine ≈ 0.92)."""
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < _INCR_EMB_MAX_ID).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    near = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x + 0.05
+        ).alias("v"),
+    )
+    corpus = base.unionByName(near)
+    kw = dict(
+        id_col="vec_id", vec_col="v", threshold=0.9, n_planes=4, dim=64,
+        n_tables=3,
+    )
+    seen = corpus.filter(F.col("vec_id") < 15)
+    new = corpus.filter(F.col("vec_id") >= 15)
+    # seen state via embedding_state — interchangeable with what prior
+    # incremental runs would have appended (seeded buckets), without
+    # paying a full dedup pass to bootstrap the fixture
+    seen_b, seen_v = SIM.embedding_state(
+        seen, id_col="vec_id", vec_col="v", n_planes=4, dim=64, n_tables=3
+    )
+    kept, _, _ = SIM.incremental_embedding_neardup(new, seen_b, seen_v, **kw)
+    return kept.select("vec_id")
 
 
 @q("td_embedding_neardup", _emb_neardup_sql())
@@ -602,7 +687,10 @@ def _hash_embed_sql(dim: int = 64, n_planes: int = 8, n_tables: int = 9,
     """
 
 
-@q("td_hash_embed_pairs", _hash_embed_sql())
+# td_hash_embed_pairs was driver-green r3-r7 with unchanged code; rotated
+# out late r7 for td_incremental_embedding (the hash-embed lineage's pieces
+# stay gate-covered via td_embedding_neardup + the text minhash rows).
+# Still oracle-checked every pytest run via tests/test_retired_queries.py.
 def td_hash_embed_pairs(spark, sf_dir):
     """Raw text → REAL feature-hashing embedding (Weinberger 2009) → LSH
     bucket join → exact-cosine near-dup pairs, the full lineage under the

@@ -230,3 +230,9 @@ def test_td_ann_lsh_topk_matches_oracle(spark):
     from illumio_spark.queries.catalog_td import _ann_lsh_sql, td_ann_lsh_topk
 
     _compare(td_ann_lsh_topk(spark, SF), _ann_lsh_sql())
+
+
+def test_td_hash_embed_pairs_matches_oracle(spark):
+    from illumio_spark.queries.catalog_td import _hash_embed_sql, td_hash_embed_pairs
+
+    _compare(td_hash_embed_pairs(spark, SF), _hash_embed_sql())
