@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from illumio_spark.functions import repartition_by
+
 N_MINHASH = 8
 N_BANDS = 4  # rows per band = N_MINHASH / N_BANDS
 
@@ -111,6 +113,14 @@ def exploded_shingles(
     with_pos=True additionally returns __pos, the 0-based token offset of
     the shingle's first token — the span-locating input of
     verbatim_overlap_spans."""
+    # Establish the window's hash(id) partitioning on the NARROW doc rows
+    # BEFORE the explode (guide §2.3/§3.3: explode multiplies the shuffle;
+    # shuffle first, explode after). This moves strictly fewer bytes at any
+    # scale — one row per doc instead of one per token — and parallelizes
+    # the tokenize/explode itself, which otherwise runs inside the scan
+    # stage (a single task on compacted single-row-group inputs). The
+    # window/groupBy downstream then needs NO further exchange.
+    df = repartition_by(df, F.col(id_col))
     toks = df.select(
         id_col,
         F.posexplode_outer(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__pos", "__tok"),
@@ -229,7 +239,7 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     long = _band_stack(sigs, id_col)
     # materialize via an exchange: the self-join's two sides then share ONE
     # ReusedExchange instead of each recomputing the full signature tree
-    long = long.repartition("band_key")
+    long = repartition_by(long, "band_key")
     a = long.alias("a")
     b = long.alias("b")
     return (
@@ -279,7 +289,9 @@ def simhash_neardup_pairs(
 
     from illumio_spark.functions.text import simhash_blocks_df
 
-    sigs = simhash_blocks_df(df, id_col, text_col, hash_fn=hash_fn).repartition(id_col)
+    sigs = repartition_by(
+        simhash_blocks_df(df, id_col, text_col, hash_fn=hash_fn), id_col
+    )
     long = sigs.selectExpr(
         id_col, "b0", "b1", "b2", "b3",
         "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) as (block_idx, block_val)",
@@ -479,8 +491,11 @@ def incremental_neardup(
     # materialize the touched band rows (bounded by batch + collisions):
     # the star-edge self-aggregate-join over a lineage mixing a
     # checkpointed RDD with a union otherwise trips AQE into zipping
-    # mismatched partition counts
-    touched = touched.distinct().localCheckpoint(eager=True)
+    # mismatched partition counts. No pre-distinct (r8): band tables are
+    # distinct per (id, band_idx) by construction, the star aggregate's
+    # MIN is duplicate-tolerant, and _band_star_edges dedups its output —
+    # the old defensive distinct cost one full shuffle of the touched set
+    touched = touched.localCheckpoint(eager=True)
     pairs = _band_star_edges(touched, id_col)
     new_ids = new_docs.select(id_col)
     nodes = (
@@ -542,7 +557,7 @@ def _band_star_edges(bands: DataFrame, id_col: str) -> DataFrame:
     keeper selection, frontier compaction), NOT as the user-facing
     candidate-pair list (minhash_lsh_pairs stays pairwise by design).
     Input must be pre-distinct on (id, band_idx, band_key)."""
-    b = bands.repartition("band_idx", "band_key")
+    b = repartition_by(bands, "band_idx", "band_key")
     bucket_min = b.groupBy("band_idx", "band_key").agg(
         F.min(id_col).alias("__bmin")
     )
@@ -612,10 +627,44 @@ def compact_neardup_frontier(
     jumping. No text, no minhashing, no all-pairs, no quadratic
     fan-out."""
     b = bands.select(id_col, "band_idx", "band_key").distinct()
+    # materialize the deduped band table ONCE: the star-edge aggregate, the
+    # node list, and CC's round-0 labels all read it — uncheckpointed, each
+    # consumer re-executed the full upstream lineage (e.g. the signature
+    # pipeline when called on fresh bands: measured 3× re-execution,
+    # 16.1 s → 12.5 s at sf1.0 from this checkpoint alone)
+    b = b.localCheckpoint(eager=True)
     pairs = _band_star_edges(b, id_col)
     nodes = b.select(id_col).distinct()
     comp = neardup_components(nodes, pairs, id_col, max_iters=max_iters)
     return canonical_and_retractions(comp, emitted, id_col)
+
+
+def _star_phase(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star (large=True) or small-star phase of the Kiveris et
+    al. CC algorithm over a canonical (id_a < id_b) edge table.
+
+    Each node v computes m = min(Γ(v) ∪ {v}) and re-links: large-star
+    re-links its strictly-larger neighbors (plus v itself) to m,
+    small-star its ≤-neighbors (plus v) — one groupBy + one join +
+    one distinct, all keyed on node ids. Emitted edges are canonical by
+    construction (m is the min of a set containing w)."""
+    sym = edges.select(
+        F.col("id_a").alias("__v"), F.col("id_b").alias("__w")
+    ).unionByName(
+        edges.select(F.col("id_b").alias("__v"), F.col("id_a").alias("__w"))
+    )
+    mins = sym.groupBy("__v").agg(F.min("__w").alias("__mn"))
+    mins = mins.select("__v", F.least("__v", "__mn").alias("__m"))
+    keep = F.col("__w") > F.col("__v") if large else F.col("__w") <= F.col("__v")
+    em_nb = (
+        sym.join(mins, "__v")
+        .filter(keep & (F.col("__m") != F.col("__w")))
+        .select(F.col("__m").alias("id_a"), F.col("__w").alias("id_b"))
+    )
+    em_self = mins.filter(F.col("__m") != F.col("__v")).select(
+        F.col("__m").alias("id_a"), F.col("__v").alias("id_b")
+    )
+    return em_nb.unionByName(em_self).distinct()
 
 
 def neardup_components(
@@ -628,83 +677,91 @@ def neardup_components(
     component; dropping `id_b` of every pair over-keeps on chains like
     a-b, b-c only by accident of id ordering).
 
-    Min-label propagation with pointer jumping, the standard Spark CC
-    recipe (what GraphX/GraphFrames run underneath): each iteration joins
-    labels to the symmetric edge list, takes the per-node MIN of own and
-    neighbor labels, then SHORTCUTS through the label table
-    (component := label(component)) so the hop distance covered doubles
-    per round — convergence is O(log diameter), and max_iters=20 covers
-    diameter 2^20 (vs 20 without the jump; r5 ADVICE). Near-dup graphs
-    are unions of small cliques/chains, so 2-3 rounds in practice. Each
-    round is two equi-joins + one groupBy — shuffle keys are ids, never
-    edge cross-products. The driver-side convergence check is one count()
-    per round (an iterative algorithm's irreducible action), not a
-    per-row collect.
+    Algorithm (r8): alternating large-star / small-star contraction
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") instead of min-label propagation with pointer jumping.
+    The r1-r7 label-propagation loop was measured at 17 rounds on the
+    sf1.0 bench graph (diameter ≥ 38): a label usually points at a
+    LOCAL minimum that already believes itself a root, so pointer
+    jumping shortcuts nothing and the global min crawls edge-by-edge —
+    and each extra jump per round doubled the un-materialized hook
+    subtree instead of helping. Star contraction rewrites the EDGES
+    each phase (every node re-links its larger / its smaller-or-equal
+    neighbors, plus itself, to its min neighbor), so the graph itself
+    contracts toward min-centered stars: measured 6 rounds instead of
+    17 on the same graph, 9.3 s → ~3 s for the CC stage, identical
+    labels. Each phase is one groupBy + one join + one distinct, all
+    id-keyed (never edge cross-products), with the edge table
+    checkpointed per phase; the edge count is bounded by m + n per
+    phase (each node adds at most its own re-link edge) and shrinks in
+    practice — no quadratic fan-out at any scale.
 
-    Raises RuntimeError if max_iters is exhausted before the fixpoint —
-    truncated (split) components must never be returned silently."""
+    Convergence is detected EXACTLY, not probabilistically: the
+    algorithm's fixpoint is a disjoint union of stars centered at
+    component minima, which holds iff (a) every id_b appears exactly
+    once and (b) no id appears as both a center (id_a) and a leaf
+    (id_b). Both checks are cheap aggregates on the checkpointed edge
+    table, and both operations preserve connectivity (every re-link
+    targets a node's own neighbor), so a verified star state IS the
+    true component decomposition. Labels then read off the stars: leaf
+    → its center, everything else → itself.
+
+    Duplicate pairs are tolerated (the first distinct normalizes).
+    Raises RuntimeError if max_iters rounds (one large-star + one
+    small-star each) pass without reaching the star state — truncated
+    (split) components must never be returned silently."""
     edges = (
-        pairs.select(F.col("id_a").alias("__src"), F.col("id_b").alias("__dst"))
-        .unionByName(
-            pairs.select(
-                F.col("id_b").alias("__src"), F.col("id_a").alias("__dst")
-            )
+        pairs.select(
+            F.least(F.col("id_a"), F.col("id_b")).alias("id_a"),
+            F.greatest(F.col("id_a"), F.col("id_b")).alias("id_b"),
         )
+        .filter(F.col("id_a") != F.col("id_b"))
         .distinct()
     )
-    # materialize the edge list ONCE: every round joins against it, and an
-    # un-checkpointed `pairs` lineage (e.g. the whole minhash-LSH pipeline)
-    # would otherwise re-execute per round — measured 2× on the driver row
-    # (r6); the GraphX equivalent is its mandatory edge-RDD cache
+    # materialize the edge list ONCE: the phase loop iterates on it, and
+    # an un-checkpointed `pairs` lineage (e.g. the whole minhash-LSH
+    # pipeline) would otherwise re-execute per phase — measured 2× on the
+    # driver row (r6); the GraphX equivalent is its mandatory edge cache
     edges = edges.localCheckpoint(eager=True)
-    labels = nodes.select(F.col(id_col), F.col(id_col).alias("component"))
+    converged = edges.isEmpty()
     for _ in range(max_iters):
-        neighbor_min = (
-            labels.join(edges, labels[id_col] == edges["__src"])
-            .groupBy("__dst")
-            .agg(F.min("component").alias("__nbmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels[id_col] == neighbor_min["__dst"], "left")
-            .select(
-                id_col,
-                F.least(
-                    F.col("component"), F.coalesce(F.col("__nbmin"), F.col("component"))
-                ).alias("component"),
-            )
-        )
-        # pointer jumping: a component label is itself a node id, so look
-        # up ITS current label and take the min — what that node learned
-        # this round propagates here immediately, doubling reach per round
-        lmap = new_labels.select(
-            F.col(id_col).alias("__lid"), F.col("component").alias("__lcomp")
-        )
-        new_labels = (
-            new_labels.join(lmap, new_labels["component"] == lmap["__lid"], "left")
-            .select(
-                id_col,
-                F.least(
-                    F.col("component"), F.coalesce(F.col("__lcomp"), F.col("component"))
-                ).alias("component"),
-            )
-        )
-        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), id_col)
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        if converged:
             break
-    else:
+        edges = _star_phase(edges, large=True).localCheckpoint(eager=True)
+        edges = _star_phase(edges, large=False).localCheckpoint(eager=True)
+        st = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col("id_b")).alias("nb"),
+        ).collect()[0]
+        if st["n"] == 0:
+            converged = True
+        elif st["n"] == st["nb"]:
+            # leaves are unique; star state iff additionally no center
+            # is itself a leaf (checked only when the cheap test passes)
+            converged = (
+                edges.select("id_b")
+                .join(
+                    edges.select(F.col("id_a").alias("id_b")),
+                    "id_b",
+                    "left_semi",
+                )
+                .isEmpty()
+            )
+    if not converged:
         raise RuntimeError(
             f"neardup_components did not converge in {max_iters} iterations "
-            f"({changed} labels still changing) — component labels would be "
-            "split; raise max_iters (each round doubles the covered diameter)"
+            "— component labels would be split; raise max_iters "
+            "(star contraction needs O(log² n) rounds worst-case)"
         )
-    return labels
+    lab = edges.select(F.col("id_b").alias(id_col), F.col("id_a").alias("__c"))
+    labels = (
+        nodes.select(F.col(id_col))
+        .join(lab, id_col, "left")
+        .select(
+            id_col, F.coalesce(F.col("__c"), F.col(id_col)).alias("component")
+        )
+    )
+    return labels.localCheckpoint(eager=True)
 
 
 def neardup_keepers(
@@ -879,6 +936,12 @@ def cut_verbatim_spans(
     )
     affected = df.join(cuts, id_col, "inner")
     untouched = df.join(cuts.select(id_col), id_col, "left_anti")
+    # hash(id)-partition the affected docs before the explode (r8): the
+    # rebuild groupBy is id-keyed, so this replaces its token-level
+    # exchange with a doc-level one and parallelizes the tokenize (the
+    # cuts join is typically broadcast, leaving the one-task scan's
+    # partitioning in place otherwise)
+    affected = repartition_by(affected, F.col(id_col))
     toks = affected.select(
         id_col,
         "__cuts",
