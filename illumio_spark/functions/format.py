@@ -43,17 +43,45 @@ _PY_STRIP_RE = f"^[{_PY_WS}]+|[{_PY_WS}]+$"
 PY_TRICKY_RE = "[^\\x00-\\x1b\\x20-\\x7f]"
 _ASCII_STRIP_RE = "^\\s+|\\s+$"  # Java \s == Python strip-set ∩ safe chars
 
+# The exact str.strip() whitespace set as literal CHARACTERS (same set as
+# _PY_WS, unescaped) — the edge-probe haystack below
+PY_WS_CHARS = (
+    "\t\n\x0b\x0c\x0d\x1c\x1d\x1e\x1f \x85\xa0\u1680"
+    + "".join(chr(cp) for cp in range(0x2000, 0x200B))
+    + "\u2028\u2029\u202f\u205f\u3000"
+)
+
+
+def _edge_is_py_ws(c: Column) -> Column:
+    """True iff the string's first or last character is Python whitespace —
+    the only case where str.strip() is not the identity. Two 1-char
+    substrings + two contains() probes over a 30-char literal, instead of
+    regex scans over the whole value. '' probes as contains(ws, '') = true,
+    which harmlessly routes empty strings through the (no-op) regex."""
+    ws = F.lit(PY_WS_CHARS)
+    return F.contains(ws, F.substring(c, 1, 1)) | F.contains(
+        ws, F.substring(c, -1, 1)
+    )
+
 
 def py_strip(c: Column) -> Column:
     """Python str.strip() semantics as a JVM expression.
 
-    Dual path: rows containing only safe chars (the overwhelming majority)
-    strip with Java's primitive \\s class; rows with Unicode whitespace /
-    separators take the exact 20-range Python-ws class. Byte-identical to
-    str.strip() on every input (fuzz-asserted vs the oracle)."""
+    Edge-probe fast path (r8): stripping only changes a string whose FIRST
+    or LAST character is Python whitespace, so two cheap single-char
+    membership probes skip all regex work for the overwhelming majority of
+    rows (measured: the format stage ran 4-8 py_strips per row, each an
+    rlike + regexp_replace full-string scan). Rows with whitespace edges
+    take the r4 dual path: safe-char rows strip with Java's primitive \\s
+    class, rows with Unicode whitespace/separators take the exact 20-range
+    Python-ws class. Byte-identical to str.strip() on every input
+    (fuzz-asserted vs the oracle)."""
     return F.when(
-        c.rlike(PY_TRICKY_RE), F.regexp_replace(c, _PY_STRIP_RE, "")
-    ).otherwise(F.regexp_replace(c, _ASCII_STRIP_RE, ""))
+        _edge_is_py_ws(c),
+        F.when(
+            c.rlike(PY_TRICKY_RE), F.regexp_replace(c, _PY_STRIP_RE, "")
+        ).otherwise(F.regexp_replace(c, _ASCII_STRIP_RE, "")),
+    ).otherwise(c)
 
 
 def _clean(c: Column) -> Column:

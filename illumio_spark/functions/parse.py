@@ -243,45 +243,57 @@ def parse_turns_jvm(df: DataFrame) -> DataFrame:
     # One cheap two-range scan decides, per row, whether the exact Unicode
     # patterns are needed or their ~6×-faster ASCII twins suffice
     # (identical semantics on safe rows — see format.PY_TRICKY_RE).
-    from illumio_spark.functions.format import PY_TRICKY_RE, _ASCII_STRIP_RE, _PY_STRIP_RE
+    from illumio_spark.functions.format import (
+        PY_TRICKY_RE,
+        _ASCII_STRIP_RE,
+        _PY_STRIP_RE,
+        _edge_is_py_ws,
+    )
 
     df = df.withColumn("_tricky", text.rlike(PY_TRICKY_RE))
     tricky = F.col("_tricky")
     # Python-strip semantics, not F.trim: the oracle's blank test is
     # text.strip() == '' (Unicode whitespace), and the audit candidate
     # gate must see past leading \t/\n (json.loads accepts JSON whitespace
-    # before '{' — an ASCII-space-only trim misrouted '\t{...}' payloads)
+    # before '{' — an ASCII-space-only trim misrouted '\t{...}' payloads).
+    # Edge-probe fast path (r8): strip is the identity unless the first or
+    # last char is Python whitespace — two 1-char membership probes skip
+    # the full-string strip regex on the overwhelming majority of rows.
     df = df.withColumn(
         "_stripped",
-        F.when(tricky, F.regexp_replace(text, _PY_STRIP_RE, "")).otherwise(
-            F.regexp_replace(text, _ASCII_STRIP_RE, "")
-        ),
+        F.when(
+            _edge_is_py_ws(text),
+            F.when(tricky, F.regexp_replace(text, _PY_STRIP_RE, "")).otherwise(
+                F.regexp_replace(text, _ASCII_STRIP_RE, "")
+            ),
+        ).otherwise(text),
     )
     blank = text.isNull() | (F.col("_stripped") == "")
-    df = df.withColumn(
-        "_is_summary",
-        (~blank)
-        & F.when(tricky, text.rlike(_JAVA_SUMMARY_REGEX)).otherwise(
-            text.rlike(_JAVA_SUMMARY_REGEX_ASCII)
-        ),
-    )
-    is_summary = F.col("_is_summary")
+    # ONE summary-regex pass instead of two (r8): run the group-extracting
+    # regexp_replace unconditionally and classify by comparing its output
+    # to the input. regexp_replace returns the input unchanged iff the
+    # anchored pattern did not match; a MATCH always changes the string —
+    # the rewrite drops the literal 'act= sn= count=…' separators (~50
+    # bytes) and inserts 7 one-byte sentinels, so matched output is
+    # strictly shorter than the input and can never equal it. The old
+    # shape paid rlike + regexp_replace (two full scans of the big
+    # pattern) on every summary row.
     n_fields = len(S.SUMMARY_TEXT_FIELDS)
     df = df.withColumn(
-        "_sum_parts",
+        "_sum_repl",
         F.when(
-            is_summary,
-            F.when(
-                tricky,
-                F.split(F.regexp_replace(text, _JAVA_SUMMARY_REGEX, _SUMMARY_REPL), _SEP, n_fields),
-            ).otherwise(
-                F.split(
-                    F.regexp_replace(text, _JAVA_SUMMARY_REGEX_ASCII, _SUMMARY_REPL),
-                    _SEP,
-                    n_fields,
-                )
-            ),
+            tricky, F.regexp_replace(text, _JAVA_SUMMARY_REGEX, _SUMMARY_REPL)
+        ).otherwise(
+            F.regexp_replace(text, _JAVA_SUMMARY_REGEX_ASCII, _SUMMARY_REPL)
         ),
+    )
+    df = df.withColumn(
+        "_is_summary", (~blank) & (F.col("_sum_repl") != text)
+    )
+    is_summary = F.col("_is_summary")
+    df = df.withColumn(
+        "_sum_parts",
+        F.when(is_summary, F.split(F.col("_sum_repl"), _SEP, n_fields)),
     )
     df = df.withColumns(
         {
@@ -308,7 +320,7 @@ def parse_turns_jvm(df: DataFrame) -> DataFrame:
         ),
     )
     return df.withColumns(audit_field_columns()).drop(
-        "_tricky", "_stripped", "_is_summary", "_sum_parts"
+        "_tricky", "_stripped", "_is_summary", "_sum_repl", "_sum_parts"
     )
 
 

@@ -281,41 +281,94 @@ def simhash_neardup_pairs(
     candidate pairs via equi-join on (block_idx, block_value) — pigeonhole
     guarantees every pair at hamming ≤ max_hamming (< 4 blocks differ)
     shares a block, so the output equals the all-pairs join without the
-    O(n²) BroadcastNestedLoopJoin. The repartition after the signature
-    select is an Exchange barrier so projection collapse can't re-inline
-    the vote expressions into the 4-way stack."""
+    O(n²) BroadcastNestedLoopJoin.
+
+    r8 canonicalization (guide §8: decide with small rows): the banded
+    self-join runs over DISTINCT signatures, not documents — template-
+    heavy corpora put hundreds of identical-signature docs in one block
+    bucket, and the doc-level join fanned out 153.8 M candidate rows at
+    sf1.0 where the signature-level join sees a quadratically smaller
+    bucket occupancy (50,030 docs → 33,052 distinct signatures there;
+    the win grows with duplication). Doc pairs are then reconstructed
+    exactly: qualifying signature pairs expand to their member cross
+    products (each doc pair appears under exactly one signature pair),
+    and identical-signature groups contribute their within-group pairs
+    at hamming 0 (they share all four blocks, so the pigeonhole
+    condition holds trivially). The dedup of multi-block collisions
+    happens on signature pairs — a table ~duplication² smaller than the
+    old doc-pair distinct. Output is identical row-for-row: (id_a <
+    id_b, hamming), each pair exactly once."""
     import functools
     import operator
 
     from illumio_spark.functions.text import simhash_blocks_df
 
+    # materialize the signature table ONCE: the group aggregate, the member
+    # re-attach, and the banded self-join all read it — uncheckpointed,
+    # each consumer re-executes the whole explode/bit-sum pipeline
     sigs = repartition_by(
         simhash_blocks_df(df, id_col, text_col, hash_fn=hash_fn), id_col
+    ).localCheckpoint(eager=True)
+    blocks = ["b0", "b1", "b2", "b3"]
+    groups = sigs.groupBy(*blocks).agg(
+        F.min(id_col).alias("__rep"), F.count(F.lit(1)).alias("__n")
     )
-    long = sigs.selectExpr(
-        id_col, "b0", "b1", "b2", "b3",
+    # members re-attach via the signature key; the groupBy and this join
+    # share one exchange over the signature columns
+    members = sigs.join(groups.select(*blocks, "__rep"), blocks).select(
+        "__rep", F.col(id_col)
+    )
+    members = members.localCheckpoint(eager=True)
+    long = groups.selectExpr(
+        "__rep", "b0", "b1", "b2", "b3",
         "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) as (block_idx, block_val)",
     )
+    long = repartition_by(long, "block_idx", "block_val")
     a, b = long.alias("a"), long.alias("b")
     hamming = functools.reduce(
         operator.add,
         [F.bit_count(F.col(f"a.b{k}").bitwiseXOR(F.col(f"b.b{k}")).cast("long")) for k in range(4)],
     )
-    return (
+    sig_pairs = (
         a.join(
             b,
             (F.col("a.block_idx") == F.col("b.block_idx"))
             & (F.col("a.block_val") == F.col("b.block_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col("a.__rep") < F.col("b.__rep")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__rep").alias("__ra"),
+            F.col("b.__rep").alias("__rb"),
             hamming.cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    ma = members.select(F.col("__rep").alias("__ra"), F.col(id_col).alias("__ia"))
+    mb = members.select(F.col("__rep").alias("__rb"), F.col(id_col).alias("__ib"))
+    cross = (
+        sig_pairs.join(ma, "__ra")
+        .join(mb, "__rb")
+        .select(
+            F.least("__ia", "__ib").alias("id_a"),
+            F.greatest("__ia", "__ib").alias("id_b"),
+            "hamming",
+        )
+    )
+    x, y = members.alias("x"), members.alias("y")
+    within = (
+        x.join(
+            y,
+            (F.col("x.__rep") == F.col("y.__rep"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def ngram_jaccard_pairs(
@@ -490,13 +543,20 @@ def incremental_neardup(
     touched = all_bands.join(new_keys, ["band_idx", "band_key"], "left_semi")
     # materialize the touched band rows (bounded by batch + collisions):
     # the star-edge self-aggregate-join over a lineage mixing a
-    # checkpointed RDD with a union otherwise trips AQE into zipping
-    # mismatched partition counts. No pre-distinct (r8): band tables are
-    # distinct per (id, band_idx) by construction, the star aggregate's
-    # MIN is duplicate-tolerant, and _band_star_edges dedups its output —
-    # the old defensive distinct cost one full shuffle of the touched set
+    # checkpointed RDD with a union otherwise zips RDDs with mismatched
+    # partition counts (re-confirmed r8: removing this checkpoint fails
+    # the bridge-divergence pytest with 'Can't zip RDDs with unequal
+    # numbers of partitions' even with the star exchange pinned). No
+    # pre-distinct though (r8): band tables are distinct per
+    # (id, band_idx) by construction, the star aggregate's MIN is
+    # duplicate-tolerant, and _band_star_edges dedups its output — the
+    # old defensive distinct cost one full shuffle of the touched set.
     touched = touched.localCheckpoint(eager=True)
-    pairs = _band_star_edges(touched, id_col)
+    # materialize the star edges too (r8): they feed CC's edge table AND
+    # appear twice in the node-list union — uncheckpointed, the final
+    # label join re-executed the star aggregate twice (measured ~1.5 s
+    # of the row's 9.6 s at sf1.0)
+    pairs = _band_star_edges(touched, id_col).localCheckpoint(eager=True)
     new_ids = new_docs.select(id_col)
     nodes = (
         new_ids.unionByName(pairs.select(F.col("id_a").alias(id_col)))
@@ -710,18 +770,17 @@ def neardup_components(
     Raises RuntimeError if max_iters rounds (one large-star + one
     small-star each) pass without reaching the star state — truncated
     (split) components must never be returned silently."""
-    edges = (
-        pairs.select(
-            F.least(F.col("id_a"), F.col("id_b")).alias("id_a"),
-            F.greatest(F.col("id_a"), F.col("id_b")).alias("id_b"),
-        )
-        .filter(F.col("id_a") != F.col("id_b"))
-        .distinct()
-    )
-    # materialize the edge list ONCE: the phase loop iterates on it, and
-    # an un-checkpointed `pairs` lineage (e.g. the whole minhash-LSH
-    # pipeline) would otherwise re-execute per phase — measured 2× on the
-    # driver row (r6); the GraphX equivalent is its mandatory edge cache
+    edges = pairs.select(
+        F.least(F.col("id_a"), F.col("id_b")).alias("id_a"),
+        F.greatest(F.col("id_a"), F.col("id_b")).alias("id_b"),
+    ).filter(F.col("id_a") != F.col("id_b"))
+    # no up-front distinct: every star phase ends in one, so input
+    # duplicates wash out after the first phase — the old pre-distinct
+    # paid a full extra shuffle of the edge table. Materialize the edge
+    # list ONCE: the phase loop iterates on it, and an un-checkpointed
+    # `pairs` lineage (e.g. the whole minhash-LSH pipeline) would
+    # otherwise re-execute per phase — measured 2× on the driver row
+    # (r6); the GraphX equivalent is its mandatory edge cache
     edges = edges.localCheckpoint(eager=True)
     converged = edges.isEmpty()
     for _ in range(max_iters):

@@ -587,6 +587,16 @@ def bucket_verified_pairs(
     hot_keys = sizes.filter(F.col("__bn") > hot_bucket_rows).select(
         "tbl", "bucket"
     )
+    # the common case has NO hot buckets: checking costs one aggregate
+    # over the checkpointed frame and removes the anti/semi-join pair,
+    # the expression-cosine fallback subtree, and the union from the plan
+    # entirely (r8; the guard path itself is unchanged when it fires)
+    if hot_keys.isEmpty():
+        return (
+            b.groupBy("tbl", "bucket")
+            .applyInPandas(fn, f"id_a {id_dt}, id_b {id_dt}")
+            .distinct()
+        )
     cold = b.join(hot_keys, ["tbl", "bucket"], "left_anti")
     pairs = cold.groupBy("tbl", "bucket").applyInPandas(
         fn, f"id_a {id_dt}, id_b {id_dt}"
