@@ -12,7 +12,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, functions as F, types as T
 
-from illumio_spark.functions import repartition_by
+from illumio_spark.functions import parallelize_scan, repartition_by
 from pyspark.sql.functions import pandas_udf
 
 # ---------------------------------------------------------------------------
@@ -567,8 +567,8 @@ def domain_counts(
 
     # parallelize the regex extract off the one-task scan (r8); the domain
     # groupBy shuffles by domain regardless, but its partial aggregation
-    # now runs on many tasks
-    df = repartition_by(df, F.col(id_col))
+    # now runs on many tasks (conditional: a many-split scan passes through)
+    df = parallelize_scan(df, F.col(id_col))
     urls = df.select(
         id_col,
         F.explode(

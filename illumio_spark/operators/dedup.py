@@ -715,12 +715,24 @@ def _star_phase(edges: DataFrame, large: bool) -> DataFrame:
     )
     mins = sym.groupBy("__v").agg(F.min("__w").alias("__mn"))
     mins = mins.select("__v", F.least("__v", "__mn").alias("__m"))
-    keep = F.col("__w") > F.col("__v") if large else F.col("__w") <= F.col("__v")
-    em_nb = (
-        sym.join(mins, "__v")
-        .filter(keep & (F.col("__m") != F.col("__w")))
-        .select(F.col("__m").alias("id_a"), F.col("__w").alias("id_b"))
-    )
+    # each edge (a, b), a < b, is re-linked from exactly one endpoint's
+    # perspective (large-star: its smaller endpoint a, whose strictly-
+    # larger neighbor it is; small-star: its larger endpoint b) — so the
+    # join probes the HALF-SIZE canonical edge table, not the doubled
+    # symmetric view. Emitted pairs are canonical by construction:
+    # large-star m(a) ≤ a < b; small-star m(b) ≤ a because a ∈ Γ(b).
+    if large:
+        em_nb = (
+            edges.join(mins, edges["id_a"] == mins["__v"])
+            .filter(F.col("__m") != F.col("id_b"))
+            .select(F.col("__m").alias("id_a"), F.col("id_b"))
+        )
+    else:
+        em_nb = (
+            edges.join(mins, edges["id_b"] == mins["__v"])
+            .filter(F.col("__m") != F.col("id_a"))
+            .select(F.col("__m").alias("id_a"), F.col("id_a").alias("id_b"))
+        )
     em_self = mins.filter(F.col("__m") != F.col("__v")).select(
         F.col("__m").alias("id_a"), F.col("__v").alias("id_b")
     )
@@ -780,12 +792,20 @@ def neardup_components(
     # list ONCE: the phase loop iterates on it, and an un-checkpointed
     # `pairs` lineage (e.g. the whole minhash-LSH pipeline) would
     # otherwise re-execute per phase — measured 2× on the driver row
-    # (r6); the GraphX equivalent is its mandatory edge cache
-    edges = edges.localCheckpoint(eager=True)
+    # (r6); the GraphX equivalent is its mandatory edge cache. The lazy
+    # checkpoint materializes under the isEmpty probe — one action.
+    edges = edges.localCheckpoint(eager=False)
     converged = edges.isEmpty()
     for _ in range(max_iters):
         if converged:
             break
+        # one eager checkpoint per phase: the small-star phase references
+        # its input three times (two sym branches + the min aggregate),
+        # so the large-star output must be MATERIALIZED, not merely
+        # persist()ed — a lazy cache under one fused job lets concurrent
+        # stages race past the unfilled cache and re-execute the phase
+        # subtree (tried in r8: fusing both phases + the aggregate into
+        # one action regressed the CC stage 4.1 s → 7.7 s)
         edges = _star_phase(edges, large=True).localCheckpoint(eager=True)
         edges = _star_phase(edges, large=False).localCheckpoint(eager=True)
         st = edges.agg(

@@ -11,7 +11,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
-from illumio_spark.functions import repartition_by
+from illumio_spark.functions import parallelize_scan, repartition_by
 
 LSH_SEED = 42
 
@@ -105,7 +105,7 @@ def brute_force_topk(
     # parallelize the broadcast-nested-loop scoring off the one-task scan
     # (r8): without an exchange the q×n cosine grid runs inside the scan
     # stage on a single core for single-row-group inputs
-    e = repartition_by(e, F.col(id_col))
+    e = parallelize_scan(e, F.col(id_col))
     qn = queries.select(F.col(qid_col), F.col(qvec_col).cast("array<double>").alias("qv"))
     scored = (
         e.join(F.broadcast(qn), F.col(id_col) != F.col(qid_col))
@@ -202,7 +202,7 @@ def _bucketed_long(df: DataFrame, id_alias: str, vec_alias: str,
     stage, which is ONE task on compacted single-row-group inputs; a
     narrow pre-explode shuffle parallelizes it and moves one row per
     vector instead of one per (vector, table)."""
-    df = repartition_by(df, F.col(id_alias))
+    df = parallelize_scan(df, F.col(id_alias))
     v = F.col(vec_alias)
     if n_tables * n_planes * dim > LSH_LITERAL_BUDGET:
         buckets = lsh_buckets_pandas_multi(
@@ -802,7 +802,7 @@ def ivf_topk(
     # parallelize the cell-assignment matmul and the re-attach join off the
     # one-task scan (r8): both consumers of ev share this one narrow
     # exchange (ReusedExchange) instead of re-scanning serially
-    ev = repartition_by(ev, F.col(id_col))
+    ev = parallelize_scan(ev, F.col(id_col))
     qv = queries.select(F.col(qid_col), F.col(qvec_col).cast("array<double>").alias("qv"))
     e = ev.select(
         id_col, F.get(_ivf_cells_pandas(F.col("v"), centroids, 1), 0).alias("cell")
