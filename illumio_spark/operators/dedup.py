@@ -699,7 +699,7 @@ def compact_neardup_frontier(
     return canonical_and_retractions(comp, emitted, id_col)
 
 
-def _star_phase(edges: DataFrame, large: bool) -> DataFrame:
+def _star_phase(edges: DataFrame, large: bool, dedup: bool = True) -> DataFrame:
     """One large-star (large=True) or small-star phase of the Kiveris et
     al. CC algorithm over a canonical (id_a < id_b) edge table.
 
@@ -707,7 +707,13 @@ def _star_phase(edges: DataFrame, large: bool) -> DataFrame:
     re-links its strictly-larger neighbors (plus v itself) to m,
     small-star its ≤-neighbors (plus v) — one groupBy + one join +
     one distinct, all keyed on node ids. Emitted edges are canonical by
-    construction (m is the min of a set containing w)."""
+    construction (m is the min of a set containing w).
+
+    dedup=False skips the output distinct: the per-node MIN aggregate is
+    duplicate-tolerant, so the loop runs the large-star phase without it
+    and lets the following small-star phase's distinct re-dedup each
+    round — one shuffle per round saved, no compounding (duplicates
+    never survive a full round)."""
     sym = edges.select(
         F.col("id_a").alias("__v"), F.col("id_b").alias("__w")
     ).unionByName(
@@ -736,7 +742,8 @@ def _star_phase(edges: DataFrame, large: bool) -> DataFrame:
     em_self = mins.filter(F.col("__m") != F.col("__v")).select(
         F.col("__m").alias("id_a"), F.col("__v").alias("id_b")
     )
-    return em_nb.unionByName(em_self).distinct()
+    out = em_nb.unionByName(em_self)
+    return out.distinct() if dedup else out
 
 
 def neardup_components(
@@ -806,7 +813,9 @@ def neardup_components(
         # stages race past the unfilled cache and re-execute the phase
         # subtree (tried in r8: fusing both phases + the aggregate into
         # one action regressed the CC stage 4.1 s → 7.7 s)
-        edges = _star_phase(edges, large=True).localCheckpoint(eager=True)
+        edges = _star_phase(edges, large=True, dedup=False).localCheckpoint(
+            eager=True
+        )
         edges = _star_phase(edges, large=False).localCheckpoint(eager=True)
         st = edges.agg(
             F.count(F.lit(1)).alias("n"),
