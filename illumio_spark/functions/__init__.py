@@ -41,6 +41,9 @@ def parallelize_scan(df: DataFrame, *cols: Column | str) -> DataFrame:
       single-row-group inputs report 1-2 and get the pinned
       repartition; a real many-split scan passes through untouched.
     """
+    # NB: the .rdd touch below is DRIVER-SIDE METADATA ONLY (partition
+    # count of a narrow plan) — no row ever crosses to Python and no job
+    # runs; this is not the per-row .rdd anti-pattern the codebase bans.
     n = df.sparkSession.sparkContext.defaultParallelism
     plan = df._jdf.queryExecution().executedPlan().toString()
     has_shuffle = any(
