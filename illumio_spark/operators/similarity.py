@@ -70,19 +70,35 @@ def cosine_pandas(a, b) -> "F.Column":
     # no signature type hints: pandas_udf's hint inference cannot resolve
     # string annotations here (same constraint as lsh_bucket_pandas)
     def _cos(va, vb):
-        A = np.array(va.tolist(), dtype=np.float64)
-        B = np.array(vb.tolist(), dtype=np.float64)
-        num = (A * B).sum(axis=1)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            out = num / (
-                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-            )
-        # non-finite → NULL, not NaN: Spark sorts NaN FIRST under desc()
-        # (measured: [NaN, 0.5, NULL]), so a NaN cosine would rank a
-        # zero-norm vector as every query's top neighbor while the
-        # expression mode's try_divide NULL correctly sorts it last
-        s = pd.Series(out, dtype="object")
-        return s.where(np.isfinite(out), None)
+        # NULL / ragged guard (r8, ADVICE r7): the expression cosine
+        # yields NULL for a NULL vector and for mismatched lengths
+        # (zip_with); the numpy conversion would instead raise inside
+        # the UDF. Score only the valid rows, NULL the rest.
+        la = va.map(lambda x: -1 if x is None else len(x))
+        lb = vb.map(lambda x: -1 if x is None else len(x))
+        valid = (la.to_numpy() >= 0) & (la.to_numpy() == lb.to_numpy())
+        result = pd.Series([None] * len(va), dtype="object")
+        if valid.any():
+            for L, idx in pd.Series(range(len(va)))[valid].groupby(
+                la.to_numpy()[valid]
+            ):
+                rows = idx.to_numpy()
+                A = np.array(va.iloc[rows].tolist(), dtype=np.float64)
+                B = np.array(vb.iloc[rows].tolist(), dtype=np.float64)
+                num = (A * B).sum(axis=1)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    out = num / (
+                        np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+                    )
+                # non-finite → NULL, not NaN: Spark sorts NaN FIRST under
+                # desc() (measured: [NaN, 0.5, NULL]), so a NaN cosine
+                # would rank a zero-norm vector as every query's top
+                # neighbor while try_divide's NULL correctly sorts last
+                vals = pd.Series(out, dtype="object").where(
+                    np.isfinite(out), None
+                )
+                result.iloc[rows] = vals.to_numpy()
+        return result
 
     return pandas_udf(_cos, T.DoubleType())(a, b)
 
@@ -529,7 +545,19 @@ def bucket_verified_pairs(
     hot bucket either way — the real mitigation is the LSH design,
     more planes/doc-freq capping, same class as verbatim's
     stop-shingles). The size split costs one count aggregate over the
-    band rows."""
+    band rows. The per-block sims matrix is additionally bounded by
+    `target_cells` (r8, ADVICE r7): `block` shrinks so block×M stays
+    ≤ target_cells (~128 MB of float64 at the default) — a bucket just
+    under hot_bucket_rows could otherwise allocate block×M ≈ 1.6 GB in
+    one worker. Identical pairs (row-block partitioning cannot change
+    the pair set; pinned by the existing block<bucket pytest).
+
+    NULL / ragged vectors (r8, ADVICE r7): rows with a NULL vector are
+    dropped and the matmul runs per distinct vector LENGTH — a
+    mixed-length pair scores NULL under the expression cosine
+    (zip_with) and never passes the threshold, so grouping by length
+    reproduces exactly the 'expr' semantics instead of raising
+    ValueError inside the UDF."""
     from collections.abc import Iterator  # noqa: F401
 
     import pandas as pd
@@ -545,11 +573,12 @@ def bucket_verified_pairs(
     cols = ["tbl", "bucket", id_col, vec_col] + (
         [probe_col] if probe_col else []
     )
+    target_cells = 16_000_000  # ≈128 MB float64 per in-flight sims block
 
-    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def one_group(pdf: "pd.DataFrame", out_a: list, out_b: list) -> None:
         n = len(pdf)
         if n < 2:
-            return pd.DataFrame(empty)
+            return
         ids = pdf[id_col].to_numpy()
         V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
         norms = np.linalg.norm(V, axis=1)
@@ -560,12 +589,11 @@ def bucket_verified_pairs(
         else:
             mask = pdf[probe_col].to_numpy().astype(bool)
             if not mask.any():
-                return pd.DataFrame(empty)
+                return
             P, pids, triangle = U[mask], ids[mask], False
-        out_a: list[np.ndarray] = []
-        out_b: list[np.ndarray] = []
-        for s in range(0, len(P), block):
-            sims = P[s : s + block] @ U.T
+        blk = max(1, min(block, target_cells // max(n, 1)))
+        for s in range(0, len(P), blk):
+            sims = P[s : s + blk] @ U.T
             with np.errstate(invalid="ignore"):
                 ii, jj = np.nonzero(sims >= threshold)
             ia, ib = pids[ii + s], ids[jj]
@@ -573,6 +601,19 @@ def bucket_verified_pairs(
             if keep.any():
                 out_a.append(np.minimum(ia[keep], ib[keep]))
                 out_b.append(np.maximum(ia[keep], ib[keep]))
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf[pdf[vec_col].notna()]
+        if len(pdf) < 2:
+            return pd.DataFrame(empty)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        lens = pdf[vec_col].map(len)
+        if lens.nunique() == 1:
+            one_group(pdf, out_a, out_b)
+        else:
+            for _L, sub in pdf.groupby(lens):
+                one_group(sub, out_a, out_b)
         if not out_a:
             return pd.DataFrame(empty)
         return pd.DataFrame({"id_a": np.concatenate(out_a),

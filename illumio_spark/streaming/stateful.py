@@ -220,36 +220,30 @@ def neardup_stream(
     parquet (n_bands rows per doc ever seen), bounded by corpus size
     like every dedup frontier.
 
-    Restart discipline (the standard foreachBatch idempotence recipe):
-    survivors land in output_path/batch=<batch_id> with OVERWRITE, so a
-    replayed micro-batch rewrites its own partition instead of
-    duplicating rows; the frontier appends AFTER the output commit, and
-    a replayed frontier append only duplicates band rows, which the
-    next run's union + distinct pair join absorbs — decisions are
-    unaffected (same contract as the batch CLI's after-commit append).
+    Restart discipline (r8, the ADVICE-high replay-poisoning fix): every
+    write is per-batch idempotent. Survivors land in
+    output_path/batch=<batch_id> with OVERWRITE, and the frontier append
+    is ALSO a batch=<batch_id> OVERWRITE partition whose dir the reading
+    side EXCLUDES for the batch being processed. The r7 shape appended
+    new_bands flat AFTER the output commit; a crash between that append
+    and the streaming checkpoint commit made the REPLAYED batch read its
+    own bands as 'seen' — every doc's component touched a seen doc, kept
+    came out empty, and the batch=<id> overwrite destroyed the previous
+    attempt's survivors (permanent loss: docs in frontier, in no
+    output). With the per-batch frontier partition the replay sees
+    exactly the pre-batch frontier, recomputes the identical keeper set,
+    and overwrites both its output and its own frontier partition —
+    idempotent under any crash point, and duplicate band rows can no
+    longer accumulate across replays.
 
     Returns the StreamingQuery (caller awaits/stops it)."""
-    from illumio_spark.operators.dedup import incremental_neardup
-    from illumio_spark.sources.tableio import read_parquet_if_exists
 
     def _one_batch(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        seen = read_parquet_if_exists(spark, frontier_path)
-        res = incremental_neardup(
-            batch, seen, id_col=id_col, text_col=text_col, hash_fn=hash_fn,
-            report_seen_merges=merges_path is not None,
+        _neardup_stream_batch(
+            batch, batch_id, frontier_path, output_path,
+            id_col=id_col, text_col=text_col, hash_fn=hash_fn,
+            merges_path=merges_path,
         )
-        kept, new_bands = res[0], res[1]
-        kept.write.mode("overwrite").parquet(
-            f"{output_path}/batch={batch_id}"
-        )
-        if merges_path is not None:
-            res[2].write.mode("overwrite").parquet(
-                f"{merges_path}/batch={batch_id}"
-            )
-        # frontier advances only after the batch's output is durable —
-        # same commit discipline as the batch CLI's --seen-sigs
-        new_bands.write.mode("append").parquet(frontier_path)
 
     return (
         stream.writeStream.foreachBatch(_one_batch)
@@ -257,6 +251,49 @@ def neardup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _read_frontier_excluding(spark, path: str, batch_id: int, cols: list[str]):
+    """Read a batch=<id>-partitioned frontier, EXCLUDING the partition of
+    the batch currently being (re)processed — partition pruning drops the
+    dir before any file is touched, so a replayed batch sees exactly the
+    frontier state its first attempt saw. Returns None when the frontier
+    does not exist yet (first batch)."""
+    from illumio_spark.sources.tableio import read_parquet_if_exists
+    from pyspark.sql import functions as F
+
+    df = read_parquet_if_exists(spark, path)
+    if df is None:
+        return None
+    if "batch" in df.columns:
+        df = df.filter(F.col("batch") != batch_id)
+    return df.select(*cols)
+
+
+def _neardup_stream_batch(
+    batch: DataFrame, batch_id: int, frontier_path: str, output_path: str,
+    id_col: str = "doc_id", text_col: str = "text",
+    hash_fn: str = "xxhash64", merges_path: str | None = None,
+) -> None:
+    """One neardup_stream micro-batch (module-level so the replay
+    discipline is directly pytest-drivable)."""
+    from illumio_spark.operators.dedup import incremental_neardup
+
+    spark = batch.sparkSession
+    seen = _read_frontier_excluding(
+        spark, frontier_path, batch_id, [id_col, "band_idx", "band_key"]
+    )
+    res = incremental_neardup(
+        batch, seen, id_col=id_col, text_col=text_col, hash_fn=hash_fn,
+        report_seen_merges=merges_path is not None,
+    )
+    kept, new_bands = res[0], res[1]
+    kept.write.mode("overwrite").parquet(f"{output_path}/batch={batch_id}")
+    if merges_path is not None:
+        res[2].write.mode("overwrite").parquet(f"{merges_path}/batch={batch_id}")
+    # frontier advances only after the batch's output is durable, under
+    # this batch's OWN partition — replays overwrite instead of append
+    new_bands.write.mode("overwrite").parquet(f"{frontier_path}/batch={batch_id}")
 
 
 def embedding_neardup_stream(
@@ -287,25 +324,28 @@ def embedding_neardup_stream(
     buckets with no new doc are pruned before any vector moves
     (incremental_embedding_neardup's scale shape).
 
+    Restart discipline (r8): both frontier tables advance as
+    batch=<batch_id> OVERWRITE partitions that the reading side excludes
+    for the batch being processed — the same replay-poisoning fix as
+    neardup_stream, which additionally closes the r7 torn-frontier
+    window: a crash between the buckets write and the vecs write leaves
+    partial batch partitions that the replay simply overwrites, so
+    orphan bucket rows (bucket without vector) can no longer
+    under-detect candidates on the NEXT batch either — the incomplete
+    partition is invisible to its own replay and rewritten before any
+    later batch reads it.
+
     File-source caveat: the stream's fixed schema must match every
     file's physical vector type — a source mixing array<float> and
     array<double> files fails the parquet read (Spark file-source
     semantics); cast upstream at write time."""
-    from illumio_spark.operators.similarity import incremental_embedding_neardup
-    from illumio_spark.sources.tableio import read_parquet_if_exists
 
     def _one_batch(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        seen_b = read_parquet_if_exists(spark, f"{frontier_path}/buckets")
-        seen_v = read_parquet_if_exists(spark, f"{frontier_path}/vecs")
-        kept, new_b, new_v = incremental_embedding_neardup(
-            batch, seen_b, seen_v, id_col=id_col, vec_col=vec_col,
-            threshold=threshold, n_planes=n_planes, dim=dim,
-            n_tables=n_tables,
+        _embedding_stream_batch(
+            batch, batch_id, frontier_path, output_path,
+            id_col=id_col, vec_col=vec_col, threshold=threshold,
+            n_planes=n_planes, dim=dim, n_tables=n_tables,
         )
-        kept.write.mode("overwrite").parquet(f"{output_path}/batch={batch_id}")
-        new_b.write.mode("append").parquet(f"{frontier_path}/buckets")
-        new_v.write.mode("append").parquet(f"{frontier_path}/vecs")
 
     return (
         stream.writeStream.foreachBatch(_one_batch)
@@ -313,3 +353,29 @@ def embedding_neardup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _embedding_stream_batch(
+    batch: DataFrame, batch_id: int, frontier_path: str, output_path: str,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.9, n_planes: int = 4, dim: int = 64,
+    n_tables: int = 3,
+) -> None:
+    """One embedding_neardup_stream micro-batch (module-level so the
+    replay discipline is directly pytest-drivable)."""
+    from illumio_spark.operators.similarity import incremental_embedding_neardup
+
+    spark = batch.sparkSession
+    seen_b = _read_frontier_excluding(
+        spark, f"{frontier_path}/buckets", batch_id, [id_col, "tbl", "bucket"]
+    )
+    seen_v = _read_frontier_excluding(
+        spark, f"{frontier_path}/vecs", batch_id, [id_col, vec_col]
+    )
+    kept, new_b, new_v = incremental_embedding_neardup(
+        batch, seen_b, seen_v, id_col=id_col, vec_col=vec_col,
+        threshold=threshold, n_planes=n_planes, dim=dim, n_tables=n_tables,
+    )
+    kept.write.mode("overwrite").parquet(f"{output_path}/batch={batch_id}")
+    new_b.write.mode("overwrite").parquet(f"{frontier_path}/buckets/batch={batch_id}")
+    new_v.write.mode("overwrite").parquet(f"{frontier_path}/vecs/batch={batch_id}")

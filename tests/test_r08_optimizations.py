@@ -138,3 +138,166 @@ def test_parallelize_scan_narrow_vs_shuffled(spark, tmp_path):
         sc.setJobGroup(None, None)
     assert list(jobs) == []
     assert out2 is shuffled
+
+
+def test_neardup_stream_replay_poisoning_fixed(spark, tmp_path):
+    """ADVICE r7 (high): a micro-batch replayed AFTER its frontier append
+    (crash before the streaming checkpoint commit) must reproduce its
+    first attempt's survivors, not read its own bands as 'seen' and
+    destroy the output. Drive the per-batch body directly: run batch 0,
+    then run it AGAIN with the frontier already advanced — the replay
+    must emit the identical keeper set and leave no duplicate frontier
+    rows; a following batch must still drop near-dups of batch 0."""
+    from illumio_spark.streaming.stateful import _neardup_stream_batch
+
+    frontier = str(tmp_path / "frontier")
+    out = str(tmp_path / "out")
+    docs0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "completely different text content here now")],
+        "doc_id long, text string",
+    )
+    _neardup_stream_batch(docs0, 0, frontier, out)
+    first = {r.doc_id for r in spark.read.parquet(f"{out}/batch=0").collect()}
+    assert first == {1, 3}
+    n_frontier = spark.read.parquet(frontier).count()
+
+    # simulate the crash-replay: frontier already holds batch 0's bands
+    _neardup_stream_batch(docs0, 0, frontier, out)
+    replay = {r.doc_id for r in spark.read.parquet(f"{out}/batch=0").collect()}
+    assert replay == first  # NOT empty — the r7 shape lost these rows
+    assert spark.read.parquet(frontier).count() == n_frontier  # no dup rows
+
+    # a later batch still sees batch 0 as seen (near-dup of doc 1 drops)
+    docs1 = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta trailing"),
+         (11, "yet another brand new unique document body")],
+        "doc_id long, text string",
+    )
+    _neardup_stream_batch(docs1, 1, frontier, out)
+    kept1 = {r.doc_id for r in spark.read.parquet(f"{out}/batch=1").collect()}
+    assert kept1 == {11}
+
+
+def test_embedding_stream_replay_and_torn_frontier(spark, tmp_path):
+    """The embedding twin: replay after both frontier appends reproduces
+    the first attempt, and a TORN state (crash between the buckets append
+    and the vecs append) is healed by the replay because the incomplete
+    batch partition is excluded from its own re-read and overwritten."""
+    import shutil
+
+    from illumio_spark.streaming.stateful import _embedding_stream_batch
+
+    frontier = str(tmp_path / "efrontier")
+    out = str(tmp_path / "eout")
+    v = [1.0] + [0.0] * 7
+    w = [0.999] + [0.0447] + [0.0] * 6
+    u = [0.0] * 7 + [1.0]
+    b0 = spark.createDataFrame(
+        [(1, v), (2, v), (3, u)], "vec_id long, embedding array<double>"
+    )
+    _embedding_stream_batch(b0, 0, frontier, out, dim=8)
+    first = {r.vec_id for r in spark.read.parquet(f"{out}/batch=0").collect()}
+    assert first == {1, 3}
+
+    # full replay (both appends landed): identical output, no dup state
+    nb = spark.read.parquet(f"{frontier}/buckets").count()
+    nv = spark.read.parquet(f"{frontier}/vecs").count()
+    _embedding_stream_batch(b0, 0, frontier, out, dim=8)
+    assert {r.vec_id for r in spark.read.parquet(f"{out}/batch=0").collect()} == first
+    assert spark.read.parquet(f"{frontier}/buckets").count() == nb
+    assert spark.read.parquet(f"{frontier}/vecs").count() == nv
+
+    # torn state: batch 1 wrote its buckets but crashed before its vecs
+    b1 = spark.createDataFrame(
+        [(10, w), (11, [0.0] * 4 + [1.0] + [0.0] * 3)],
+        "vec_id long, embedding array<double>",
+    )
+    _embedding_stream_batch(b1, 1, frontier, out, dim=8)
+    shutil.rmtree(f"{frontier}/vecs/batch=1")  # simulate the torn window
+    # replay of batch 1 heals it: its own partial partition is invisible
+    _embedding_stream_batch(b1, 1, frontier, out, dim=8)
+    kept1 = {r.vec_id for r in spark.read.parquet(f"{out}/batch=1").collect()}
+    assert kept1 == {11}  # 10 is near v (seen batch 0) -> drops
+    # batch 2 sees a CONSISTENT frontier incl. batch 1's vectors
+    b2 = spark.createDataFrame(
+        [(20, [0.0] * 4 + [0.999, 0.0447, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    _embedding_stream_batch(b2, 2, frontier, out, dim=8)
+    kept2 = {r.vec_id for r in spark.read.parquet(f"{out}/batch=2").collect()}
+    assert kept2 == set()  # near 11 -> seen wins
+
+
+def test_matmul_and_pandas_cosine_null_ragged_vectors(spark):
+    """ADVICE r7 (low): the numpy paths must tolerate NULL and
+    mismatched-length vectors exactly like the expression paths (NULL
+    cosine -> excluded), instead of raising ValueError in the UDF."""
+    from illumio_spark.operators.similarity import (
+        bucket_verified_pairs,
+        cosine,
+        cosine_pandas,
+    )
+
+    rows = [
+        (1, 0, 7, [1.0, 0.0, 0.0]),
+        (2, 0, 7, [1.0, 0.0, 0.0]),
+        (3, 0, 7, None),                 # NULL vector
+        (4, 0, 7, [1.0, 0.0]),           # ragged length
+        (5, 0, 7, [0.999, 0.0447, 0.0]),
+        (6, 0, 7, [1.0, 0.0]),           # ragged pair with 4
+    ]
+    bv = spark.createDataFrame(
+        rows, "vec_id long, tbl int, bucket long, __v array<double>"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in bucket_verified_pairs(bv, threshold=0.9).collect()
+    }
+    # expr-parity: NULL drops out; ragged pairs only match same-length
+    assert got == {(1, 2), (1, 5), (2, 5), (4, 6)}
+
+    pairs = spark.createDataFrame(
+        [
+            ([1.0, 0.0], [1.0, 0.0]),
+            (None, [1.0, 0.0]),
+            ([1.0, 0.0], None),
+            ([1.0, 0.0, 0.0], [1.0, 0.0]),  # ragged
+            ([0.0, 0.0], [1.0, 0.0]),       # zero norm -> NULL
+        ],
+        "a array<double>, b array<double>",
+    )
+    from pyspark.sql import functions as F2
+    got_p = [r.c for r in pairs.select(cosine_pandas(F2.col("a"), F2.col("b")).alias("c")).collect()]
+    want_e = [r.c for r in pairs.select(cosine(F2.col("a"), F2.col("b")).alias("c")).collect()]
+    # the expr path gives NULL for null/zero-norm; for the ragged row
+    # zip_with pads with NULL so the fold is NULL too
+    assert got_p[0] == 1.0 and want_e[0] == 1.0
+    assert got_p[1:] == [None, None, None, None]
+    assert want_e[1:] == [None, None, None, None]
+
+
+def test_matmul_block_bound_adapts(spark):
+    """ADVICE r7 (medium): a large bucket must not allocate a
+    block x M float64 sims matrix beyond the cell budget — verified
+    indirectly: a 30k-member bucket with block=1024 would be 30M cells
+    per block under the old fixed size; the adaptive block keeps results
+    identical (pair count of the planted duplicate pair)."""
+    import numpy as np
+
+    from illumio_spark.operators.similarity import bucket_verified_pairs
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    vecs = rng.standard_normal((n, 8))
+    rows = [(i, 0, 1, [float(x) for x in vecs[i]]) for i in range(n)]
+    rows.append((n, 0, 1, [float(x) for x in vecs[0]]))  # exact dup of 0
+    bv = spark.createDataFrame(
+        rows, "vec_id long, tbl int, bucket long, __v array<double>"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in bucket_verified_pairs(bv, threshold=0.9999).collect()
+    }
+    assert (0, n) in got
